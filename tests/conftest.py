@@ -1,0 +1,25 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+sharding layer is exercised without TPU hardware."""
+
+import os
+
+# The container site hook registers an 'axon' TPU backend at interpreter
+# startup (before conftest), so env vars alone are not enough — also flip
+# the jax config before the backend is first used.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
