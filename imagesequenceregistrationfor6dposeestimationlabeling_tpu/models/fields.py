@@ -1,0 +1,209 @@
+"""Neural radiance field with a SurfEmb feature head, in flax.
+
+Re-design of the reference's ``NeuralRadianceFieldFeat`` (nerf.py:148-767)
+and the missing ``dep/siren.py`` SIREN MLP (nerf.py:104,201-202):
+
+* ``HarmonicEmbedding``: sin/cos embedding, 60 freqs, omega0 = 0.1
+  (nerf.py:106-144) -> 360-dim for xyz.
+* trunk: 2 x Linear(256) + Softplus(beta=10) (nerf.py:172-177).
+* density head: Linear(256 -> 1) + Softplus(beta=10), bias -1.5, mapped
+  to opacity via ``1 - exp(-raw)`` (nerf.py:206-228).
+* color head: Linear(256+360 -> 256) + Softplus, Linear(256 -> 3), sigmoid,
+  conditioned on the harmonic embedding of the normalized view direction
+  (nerf.py:182-189, 230-268).
+* feature head: SIREN(3 -> 256 x 2 -> 12) evaluated directly on xyz
+  (nerf.py:191-202, 388-392), or a Softplus MLP on the harmonic embedding
+  when ``siren=False``.
+
+Unlike the reference there is no ray chunking (`batched_forward`,
+nerf.py:458-521): on TPU the whole ray batch is one fused XLA computation;
+memory tiling is handled by ``jax.lax.map`` in the callers when grids are
+large (surface extraction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+
+
+def harmonic_embedding(x: jnp.ndarray, n_harmonic: int = 60, omega0: float = 0.1) -> jnp.ndarray:
+    """(..., D) -> (..., D * n_harmonic * 2), ordering [sin(d0*f...), sin(d1*f...), ..., cos...]
+
+    matching nerf.py:135-144 (x[..., None] * freqs flattened over the last
+    two dims, then sin block followed by cos block).
+    """
+    freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
+    ang = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def softplus_beta(x: jnp.ndarray, beta: float = 10.0) -> jnp.ndarray:
+    """torch.nn.Softplus(beta): log(1 + exp(beta x)) / beta, overflow-safe."""
+    return jax.nn.softplus(x * beta) / beta
+
+
+def _sym_uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class SirenLayer(nn.Module):
+    """One SIREN layer: sin(omega * (W x + b)) with the SIREN init scheme."""
+
+    features: int
+    omega: float = 30.0
+    is_first: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        bound = (1.0 / in_dim) if self.is_first else (jnp.sqrt(6.0 / in_dim) / self.omega)
+        h = nn.Dense(
+            self.features, kernel_init=_sym_uniform(bound), bias_init=_sym_uniform(bound)
+        )(x)
+        return jnp.sin(self.omega * h)
+
+
+class Siren(nn.Module):
+    """SIREN MLP (in=3, hidden=256 x hidden_layers, out) — the missing
+    ``dep/siren.py`` (nerf.py:201-202).  Final layer is linear."""
+
+    hidden_features: int = 256
+    hidden_layers: int = 2
+    out_features: int = 12
+
+    @nn.compact
+    def __call__(self, x):
+        h = SirenLayer(self.hidden_features, is_first=True)(x)
+        for _ in range(self.hidden_layers):
+            h = SirenLayer(self.hidden_features)(h)
+        bound = float(jnp.sqrt(6.0 / self.hidden_features) / 30.0)
+        return nn.Dense(
+            self.out_features, kernel_init=_sym_uniform(bound), bias_init=_sym_uniform(bound)
+        )(h)
+
+
+class NerfField(nn.Module):
+    """Radiance field; pure function of points (and view dirs for color)."""
+
+    cfg: FieldConfig = FieldConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.trunk1 = nn.Dense(c.n_hidden)
+        self.trunk2 = nn.Dense(c.n_hidden)
+        self.density_layer = nn.Dense(1, bias_init=nn.initializers.constant(c.density_bias))
+        self.color1 = nn.Dense(c.n_hidden)
+        self.color2 = nn.Dense(3)
+        if c.siren:
+            self.feature_layer = Siren(c.n_hidden, 2, c.feature_dim)
+        else:
+            self.feat1 = nn.Dense(c.n_hidden)
+            self.feat2 = nn.Dense(c.feature_dim)
+
+    def embed(self, pts):
+        return harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0)
+
+    def trunk(self, embeds):
+        h = softplus_beta(self.trunk1(embeds), self.cfg.softplus_beta)
+        return softplus_beta(self.trunk2(h), self.cfg.softplus_beta)
+
+    def density_from_trunk(self, h):
+        raw = softplus_beta(self.density_layer(h), self.cfg.softplus_beta)
+        return 1.0 - jnp.exp(-raw)
+
+    def density(self, pts):
+        """Opacity in [0, 1) per point (nerf.py:220-228)."""
+        return self.density_from_trunk(self.trunk(self.embed(pts)))
+
+    def color(self, pts, view_dirs):
+        """RGB per point, conditioned on view direction (nerf.py:230-268).
+
+        ``view_dirs``: (..., 3) broadcastable against pts' leading dims.
+        """
+        embeds = self.embed(pts)
+        h = self.trunk(embeds)
+        d = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
+        d_emb = self.embed(d)
+        # view dirs are per-ray; points may have an extra per-ray-point dim
+        while d_emb.ndim < h.ndim:
+            d_emb = d_emb[..., None, :]
+        d_emb = jnp.broadcast_to(d_emb, h.shape[:-1] + d_emb.shape[-1:])
+        x = jnp.concatenate([h, d_emb], axis=-1)
+        x = softplus_beta(self.color1(x), self.cfg.softplus_beta)
+        return jax.nn.sigmoid(self.color2(x))
+
+    def features(self, pts):
+        """12-d descriptor keys per point (nerf.py:314-339, 404-415)."""
+        if self.cfg.siren:
+            return self.feature_layer(pts)
+        h = softplus_beta(self.feat1(self.embed(pts)), self.cfg.softplus_beta)
+        return jax.nn.sigmoid(self.feat2(h))
+
+    def __call__(self, pts, view_dirs=None, mode: str = "color"):
+        """Densities (..., 1) and per-point channels.
+
+        mode 'color' -> rgb, 'feature' -> 12-d keys, 'both' -> 15-d concat
+        (nerf.py:388-398).
+        """
+        embeds = self.embed(pts)
+        h = self.trunk(embeds)
+        dens = self.density_from_trunk(h)
+        if mode == "feature":
+            feats = self.features(pts)
+        elif mode == "color":
+            feats = self.color(pts, view_dirs)
+        else:
+            feats = jnp.concatenate([self.color(pts, view_dirs), self.features(pts)], axis=-1)
+        return dens, feats
+
+    def density_and_features(self, pts):
+        """Density + feature head without view dirs (forwardWithPoints,
+        nerf.py:750-767)."""
+        h = self.trunk(self.embed(pts))
+        return self.density_from_trunk(h), self.features(pts)
+
+    def custom_forward(self, pts):
+        """``batched_customForward`` semantics (nerf.py:404-457): feature
+        head output with a zero opacity channel appended."""
+        f = self.features(pts)
+        return jnp.concatenate([f, jnp.zeros_like(f[..., :1])], axis=-1)
+
+
+def init_field(field: NerfField, key: jax.Array):
+    """Initialize ALL heads (mode='both' touches color+feature layers)."""
+    pts = jnp.zeros((1, 1, 3))
+    dirs = jnp.zeros((1, 3))
+    return field.init(key, pts, dirs, "both")
+
+
+def freeze_spec(train_feature_head: bool):
+    """optax.multi_transform-style label tree selector.
+
+    NeRF training freezes the feature head (trainNerfFine.py:174-186);
+    descriptor training trains only the feature head (trainPose.py:160-165).
+    """
+
+    def label_fn(params):
+        def walk(path, leaf):
+            top = path[0] if path else ""
+            is_feat = str(top).startswith("feature_layer") or str(top).startswith("feat")
+            if train_feature_head:
+                return "train" if is_feat else "freeze"
+            return "freeze" if is_feat else "train"
+
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params)
+        labels = {k: walk(k, v) for k, v in flat.items()}
+        return flax.traverse_util.unflatten_dict(labels)
+
+    return label_fn

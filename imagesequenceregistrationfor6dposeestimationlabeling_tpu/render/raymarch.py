@@ -1,0 +1,182 @@
+"""Emission-absorption ray marching and importance sampling, pure JAX.
+
+Replaces pytorch3d's ``_shifted_cumprod`` / ``EmissionAbsorptionRaymarcher``
+(pren.py:256-369), the back-face raymarcher (prenBack.py:281-385) and the
+CUDA ``sample_pdf`` inverse-CDF sampler (pren.py:372-457).  Everything is
+shape-static and differentiable; the cumulative product lowers to an XLA
+scan that fuses with the surrounding elementwise ops.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def shifted_cumprod(x: jnp.ndarray, shift: int = 1) -> jnp.ndarray:
+    """pytorch3d `_shifted_cumprod`: cumprod along the last axis, shifted
+    right by `shift` with ones prepended."""
+    cp = jnp.cumprod(x, axis=-1)
+    if shift <= 0:
+        return cp
+    ones = jnp.ones_like(x[..., :shift])
+    return jnp.concatenate([ones, cp[..., :-shift]], axis=-1)
+
+
+def ea_weights(densities: jnp.ndarray, eps: float = 1e-10, surface_thickness: int = 1) -> jnp.ndarray:
+    """weights = density * shifted_cumprod((1+eps) - density) (pren.py:164-169).
+
+    densities: (..., P) in [0, 1].
+    """
+    absorption = shifted_cumprod((1.0 + eps) - densities, shift=surface_thickness)
+    return densities * absorption
+
+
+def threshold_densities(densities: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """thresholdMode (pren.py:341-344): binarize density > tau."""
+    return (densities > threshold).astype(densities.dtype)
+
+
+def weight_mode_densities(
+    densities: jnp.ndarray, threshold: float, eps: float = 1e-10, surface_thickness: int = 1
+) -> jnp.ndarray:
+    """weightMode (pren.py:345-360): keep only the argmax-weight sample
+    among samples with density > tau."""
+    c2 = (densities > threshold).astype(densities.dtype)
+    w = ea_weights(densities, eps, surface_thickness)
+    b1 = jnp.max(w, axis=-1, keepdims=True)
+    c1 = (w - b1 >= 0).astype(densities.dtype)
+    return c1 * c2
+
+
+def composite(
+    densities: jnp.ndarray,
+    features: jnp.ndarray,
+    eps: float = 1e-10,
+    surface_thickness: int = 1,
+    threshold_mode: bool = False,
+    weight_mode: bool = False,
+    threshold: float = 0.03,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EA compositing (pren.py:298-369).
+
+    densities: (..., P); features: (..., P, C).
+    Returns (features+opacity (..., C+1), weights (..., P)).
+    """
+    if threshold_mode:
+        densities = threshold_densities(densities, threshold)
+    elif weight_mode:
+        densities = weight_mode_densities(densities, threshold, eps, surface_thickness)
+    weights = ea_weights(densities, eps, surface_thickness)
+    feat = jnp.sum(weights[..., None] * features, axis=-2)
+    opacity = 1.0 - jnp.prod(1.0 - densities, axis=-1, keepdims=True)
+    return jnp.concatenate([feat, opacity], axis=-1), weights
+
+
+def back_weights(
+    densities: jnp.ndarray,
+    eps: float = 1e-10,
+    surface_thickness: int = 1,
+    threshold_mode: bool = False,
+    threshold: float = 0.05,
+) -> jnp.ndarray:
+    """Backward-crossing weights (prenBack.py:376-385): flipped cumprod from
+    the ray end, so the peak sits on the *last* (back) surface crossing."""
+    if threshold_mode:
+        densities = threshold_densities(densities, threshold)
+    absorption2 = shifted_cumprod((1.0 + eps) - densities[..., ::-1], shift=surface_thickness)
+    return densities * absorption2[..., ::-1]
+
+
+def surface_depth(lengths: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """max(lengths * weights) depth heuristic used everywhere the reference
+    extracts surface hits (generateCors.py:306, trainPose.py:328)."""
+    return jnp.max(lengths * weights, axis=-1)
+
+
+def surface_points(origins, directions, lengths, weights):
+    """o + d * surface_depth (the reference's posVec)."""
+    return origins + directions * surface_depth(lengths, weights)[..., None]
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: jax.Array | None,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of `n_samples` per ray (pytorch3d sample_pdf).
+
+    bins: (..., B) sorted midpoints; weights: (..., B-1) non-negative.
+    Matches NeRF's implementation: uniform (or stratified-random) u in
+    [0, 1), piecewise-linear CDF inversion.
+    """
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., B)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0 - 1e-6, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), maxval=1.0 - 1e-6)
+
+    idx = jnp.clip(
+        jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
+            cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)
+        ).reshape(u.shape),
+        1,
+        cdf.shape[-1] - 1,
+    )
+    below = idx - 1
+    above = idx
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-10, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
+def importance_resample(
+    lengths: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: jax.Array | None,
+    det: bool = False,
+    add_input_samples: bool = True,
+) -> jnp.ndarray:
+    """ProbabilisticRaysampler.forward (pren.py:407-457): sample new depths
+    from the coarse weight distribution, optionally concat inputs, sort."""
+    z_mid = 0.5 * (lengths[..., 1:] + lengths[..., :-1])
+    z_new = sample_pdf(z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), n_samples, key, det=det)
+    if add_input_samples:
+        z = jnp.concatenate([lengths, z_new], axis=-1)
+    else:
+        z = z_new
+    return jnp.sort(z, axis=-1)
+
+
+def huber(x: jnp.ndarray, y: jnp.ndarray, scaling: float = 0.1) -> jnp.ndarray:
+    """Smooth-L1 loss exactly as nutil.py:157-164."""
+    diff_sq = (x - y) ** 2
+    return (jnp.sqrt(jnp.clip(1.0 + diff_sq / (scaling**2), 1e-4, None)) - 1.0) * scaling
+
+
+def mip360_distortion(lengths: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """mip-NeRF-360 distortion loss (nutil.py:140-152); imported by the
+    reference's trainer but unused — provided for parity."""
+    w = weights[..., :-1]
+    t = lengths - lengths[..., 0:1]
+    t = t / jnp.max(t, axis=-1, keepdims=True)
+    ut = (t[..., 1:] + t[..., :-1]) / 2
+    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
+    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3
+    return jnp.mean(loss_inter + loss_intra)

@@ -1,0 +1,91 @@
+"""Field model unit tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+
+
+def test_harmonic_embedding_layout():
+    x = jnp.asarray([[1.0, 2.0, 3.0]])
+    emb = fields.harmonic_embedding(x, n_harmonic=2, omega0=0.1)
+    # layout: [sin(x0*f0), sin(x0*f1), sin(x1*f0), ..., cos(...)]
+    expect = np.concatenate(
+        [
+            np.sin([0.1, 0.2, 0.2, 0.4, 0.3, 0.6]),
+            np.cos([0.1, 0.2, 0.2, 0.4, 0.3, 0.6]),
+        ]
+    )[None]
+    np.testing.assert_allclose(np.asarray(emb), expect, atol=1e-6)
+    assert fields.harmonic_embedding(x).shape == (1, 360)
+
+
+def test_softplus_beta():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    out = np.asarray(fields.softplus_beta(x, 10.0))
+    expect = np.log1p(np.exp(np.asarray([-10.0, 0.0, 20.0], dtype=np.float64))) / 10.0
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_field_init_density_near_zero():
+    """Density bias -1.5 must initialize opacities close to 0 (nerf.py:213-218)."""
+    cfg = FieldConfig()
+    field = fields.NerfField(cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    params = field.init(jax.random.PRNGKey(0), pts, pts[:1], "both")
+    dens = field.apply(params, pts, method=field.density)
+    assert float(jnp.mean(dens)) < 0.3
+
+
+def test_field_modes_shapes():
+    cfg = FieldConfig()
+    field = fields.NerfField(cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 3)) * 0.5
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    # init with mode="both" so every head's params are created
+    params = field.init(jax.random.PRNGKey(0), pts, dirs, "both")
+    dens, rgb = field.apply(params, pts, dirs, "color")
+    assert dens.shape == (4, 8, 1) and rgb.shape == (4, 8, 3)
+    assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
+    dens, feat = field.apply(params, pts, dirs, "feature")
+    assert feat.shape == (4, 8, 12)
+    dens, both = field.apply(params, pts, dirs, "both")
+    assert both.shape == (4, 8, 15)
+    cf = field.apply(params, pts, method=field.custom_forward)
+    assert cf.shape == (4, 8, 13)
+    np.testing.assert_allclose(np.asarray(cf[..., -1]), 0.0, atol=1e-7)
+
+
+def test_siren_output_reasonable():
+    m = fields.Siren(hidden_features=64, hidden_layers=2, out_features=12)
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 3))
+    params = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(params, x)
+    assert y.shape == (256, 12)
+    # siren outputs should be smallish and varied at init
+    assert 0.001 < float(jnp.std(y)) < 2.0
+
+
+def test_freeze_spec_labels():
+    import flax
+
+    cfg = FieldConfig()
+    field = fields.NerfField(cfg)
+    pts = jnp.zeros((2, 3))
+    params = field.init(jax.random.PRNGKey(0), pts, pts, "both")["params"]
+    labels = fields.freeze_spec(train_feature_head=False)(params)
+    flat = flax.traverse_util.flatten_dict(labels)
+    for k, v in flat.items():
+        if str(k[0]).startswith("feature_layer"):
+            assert v == "freeze", k
+        else:
+            assert v == "train", k
+    labels2 = fields.freeze_spec(train_feature_head=True)(params)
+    flat2 = flax.traverse_util.flatten_dict(labels2)
+    for k, v in flat2.items():
+        if str(k[0]).startswith("feature_layer"):
+            assert v == "train", k
+        else:
+            assert v == "freeze", k
