@@ -1,0 +1,197 @@
+"""NeRF training: the trainNerfFine.py driver rebuilt as one jitted step.
+
+Reference semantics (trainNerfFine.py:214-354):
+* coarse + FINE models trained jointly, Adam lr 1e-3, feature heads frozen,
+* coarse pass on raw stratified MC rays (stratified=False path),
+* fine pass on importance-resampled depths from detached coarse weights
+  (sample_pdf with add_input_samples=True -> 64+256 sorted points),
+* loss = 500*huber(color) + 500*huber(sil) for BOTH passes, GT sampled at
+  the shared ray xys with nearest-neighbor grid sampling.
+
+TPU-first differences:
+* the whole step (ray gen -> field eval -> compositing -> loss -> Adam) is
+  a single XLA computation; no separate no-grad coarse render (the
+  reference evaluates the coarse field twice, pren.py:200-243 — we reuse
+  one evaluation and stop_gradient the weights),
+* the camera batch is sharded over the mesh 'data' axis; gradient psum is
+  inserted by XLA,
+* matmuls run on the MXU; activations stay fp32 (the harmonic features are
+  precision-sensitive), with bf16 reserved for the CNN encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+    FieldConfig,
+    NerfTrainConfig,
+    RenderConfig,
+)
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import (
+    sample_images_at_mc_locs,
+)
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
+
+
+class NerfTrainState(NamedTuple):
+    params_coarse: dict
+    params_fine: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: NerfTrainConfig):
+    """Adam on everything except the (frozen) feature heads
+    (trainNerfFine.py:174-186, 214)."""
+    label_fn = fields.freeze_spec(train_feature_head=False)
+
+    def label_tree(params_pair):
+        return tuple({"params": label_fn(p["params"])} for p in params_pair)
+
+    tx = optax.multi_transform(
+        {"train": optax.adam(cfg.lr), "freeze": optax.set_to_zero()}, label_tree
+    )
+    return tx
+
+
+def init_state(field: fields.NerfField, cfg: NerfTrainConfig, key: jax.Array) -> Tuple[NerfTrainState, optax.GradientTransformation]:
+    k1, k2 = jax.random.split(key)
+    pc = fields.init_field(field, k1)
+    pf = fields.init_field(field, k2)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init((pc, pf))
+    return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(
+    field: fields.NerfField,
+    tx: optax.GradientTransformation,
+    render_cfg: RenderConfig,
+    train_cfg: NerfTrainConfig,
+    min_depth: float,
+    max_depth: float,
+):
+    def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
+        pc, pf = params_pair
+
+        def coarse_fn(pts, dirs, mode):
+            return field.apply(pc, pts, dirs, mode)
+
+        def fine_fn(pts, dirs, mode):
+            return field.apply(pf, pts, dirs, mode)
+
+        coarse_img, fine_img, xys = renderer.render_coarse_fine(
+            coarse_fn,
+            fine_fn,
+            cam,
+            key,
+            n_rays=render_cfg.n_rays_per_image,
+            n_pts_coarse=render_cfg.n_pts_coarse,
+            n_pts_fine=render_cfg.n_pts_fine,
+            min_depth=min_depth,
+            max_depth=max_depth,
+            add_input_samples=render_cfg.add_input_samples,
+        )
+        sil_at = sample_images_at_mc_locs(sils[..., None], xys)
+        col_at = sample_images_at_mc_locs(images, xys)
+        s = train_cfg.loss_scale
+        hs = train_cfg.huber_scaling
+        sil_err = jnp.mean(raymarch.huber(coarse_img[..., -1:], sil_at, hs)) + jnp.mean(
+            raymarch.huber(fine_img[..., -1:], sil_at, hs)
+        )
+        col_err = jnp.mean(raymarch.huber(coarse_img[..., :-1], col_at, hs)) + jnp.mean(
+            raymarch.huber(fine_img[..., :-1], col_at, hs)
+        )
+        loss = s * (sil_err + col_err)
+        return loss, {"color": s * col_err, "sil": s * sil_err}
+
+    @jax.jit
+    def train_step(state: NerfTrainState, cam: cam_lib.Camera, images, sils, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params_coarse, state.params_fine), cam, images, sils, key
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, (state.params_coarse, state.params_fine))
+        pc, pf = optax.apply_updates((state.params_coarse, state.params_fine), updates)
+        return NerfTrainState(pc, pf, new_opt, state.step + 1), loss, aux
+
+    return train_step
+
+
+def depth_bounds(t_bop: np.ndarray, margin: float = 2.0):
+    """min/max depths from camera distances (trainNerfFine.py:118-119)."""
+    z = np.abs(np.asarray(t_bop)[:, 2])
+    return float(z.min() - margin), float(z.max() + margin)
+
+
+def train_nerf(
+    images: jnp.ndarray,
+    sils: jnp.ndarray,
+    R_bop: jnp.ndarray,
+    t_bop: jnp.ndarray,
+    K: jnp.ndarray,
+    field: fields.NerfField,
+    render_cfg: RenderConfig = RenderConfig(),
+    train_cfg: NerfTrainConfig = NerfTrainConfig(),
+    n_steps: Optional[int] = None,
+    seed: int = 1,
+    depth_margin: float = 2.0,
+    log_every: int = 0,
+):
+    """Full training loop.  Images must already be masked crops in [0, 1]
+    and t_bop already divided by diam/1.8 (trainNerfFine.py:95-101).
+
+    Returns (state, losses list).
+    """
+    S = images.shape[1]
+    cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
+    min_d, max_d = depth_bounds(t_bop, depth_margin)
+
+    key = jax.random.PRNGKey(seed)
+    state, tx = init_state(field, train_cfg, key)
+    step_fn = make_train_step(field, tx, render_cfg, train_cfg, min_d, max_d)
+
+    n = images.shape[0]
+    bs = train_cfg.batch_size
+    rng = np.random.default_rng(seed)
+    losses = []
+    total = n_steps if n_steps is not None else train_cfg.n_epochs * max(n // bs, 1)
+    step = 0
+    while step < total:
+        perm = rng.permutation(n)
+        for i in range(max(n // bs, 1)):
+            if step >= total:
+                break
+            idx = perm[i * bs : i * bs + bs]
+            if len(idx) < bs:
+                idx = np.concatenate([idx, perm[: bs - len(idx)]])
+            cam_b = cam_all[jnp.asarray(idx)]
+            key, sub = jax.random.split(key)
+            state, loss, aux = step_fn(state, cam_b, images[jnp.asarray(idx)], sils[jnp.asarray(idx)], sub)
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"step {step}: loss={float(loss):.4f} color={float(aux['color']):.4f} sil={float(aux['sil']):.4f}")
+            step += 1
+    return state, losses
+
+
+def extract_point_cloud(field: fields.NerfField, params, threshold: float = 0.03, grid_res: int = 128):
+    """batched_forward_forPC equivalent (nerf.py:640-703): density on a
+    grid_res^3 grid (device) + marching tetrahedra (host) -> world verts."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import mcubes
+
+    def dens_fn(pts):
+        return field.apply(params, pts, method=field.density)
+
+    grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
+    verts_idx, tris = mcubes.marching_tetrahedra(np.asarray(grid), threshold)
+    verts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
+    return verts, tris
