@@ -43,7 +43,10 @@ _COLORS = jnp.asarray(
         [0.9, 0.8, 0.1],
     ]
 )
-_SHARPNESS = 24.0
+# Sharp transition so the 0.05 and 0.5 density levels are within ~0.04 of
+# each other (a trained NeRF's surface shell is similarly thin; the
+# pipeline's mesh filters assume this).
+_SHARPNESS = 80.0
 
 
 def analytic_density(pts: jnp.ndarray) -> jnp.ndarray:
@@ -84,6 +87,49 @@ def analytic_surface_points(n: int, key: jax.Array) -> jnp.ndarray:
     dist = jnp.linalg.norm(pts[:, None, :] - _CENTERS, axis=-1) - _RADII
     outside_others = jnp.min(dist, axis=-1) > -1e-3
     return pts, outside_others
+
+
+def analytic_features(pts: jnp.ndarray) -> jnp.ndarray:
+    """A deterministic 12-d 'descriptor' of position: color + sinusoids.
+    Distinct surface points get distinct keys, so correspondence matching
+    can be tested without training."""
+    c = analytic_color(pts)
+    waves = jnp.concatenate(
+        [jnp.sin(3.1 * pts), jnp.cos(2.3 * pts), jnp.sin(5.7 * pts[..., ::-1])], axis=-1
+    )
+    return jnp.concatenate([c, waves], axis=-1)
+
+
+class AnalyticField:
+    """Duck-typed stand-in for models.fields.NerfField backed by the
+    analytic scene — lets every pipeline stage be tested without training.
+
+    Matches the flax calling convention: ``apply(params, ...)`` plus
+    ``method=`` bound-method dispatch.
+    """
+
+    def density(self, pts):
+        return analytic_density(pts)
+
+    def features(self, pts):
+        return analytic_features(pts)
+
+    def custom_forward(self, pts):
+        f = analytic_features(pts)
+        return jnp.concatenate([f, jnp.zeros_like(f[..., :1])], axis=-1)
+
+    def __call__(self, pts, view_dirs=None, mode="color"):
+        dens = analytic_density(pts)
+        if mode == "feature":
+            return dens, analytic_features(pts)
+        if mode == "color":
+            return dens, analytic_color(pts)
+        return dens, jnp.concatenate([analytic_color(pts), analytic_features(pts)], axis=-1)
+
+    def apply(self, params, *args, method=None, **kwargs):
+        if method is not None:
+            return method(*args, **kwargs)
+        return self(*args, **kwargs)
 
 
 class SyntheticScene(NamedTuple):

@@ -1,0 +1,207 @@
+"""Correspondence precompute — generateCors.py rebuilt for TPU.
+
+Per half-sequence, after NeRF training:
+
+1. Extract + denoise the MC surface cloud (a1.npy) and its 1000-pt FPS
+   subsample with normals (subvert1/subnormal1.npy)
+   (generateCors.py:200-265).
+2. For every training view, full-grid feature render with thresholded
+   densities -> per-pixel front surface hits (posVec), then back rays from
+   the front hits toward the camera-origin direction -> back hits
+   (posVecBack); both filtered to within 0.1 of the mesh cloud
+   (generateCors.py:268-361).
+
+TPU design: the per-view render is one jitted fixed-shape computation over
+all S*S pixels; silhouette masking and the mesh-distance filter produce a
+boolean validity mask instead of dynamic filtering.  Host code compacts
+per-view arrays once when writing the artifact bus (variable-length files
+are fine on disk).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import CorsConfig
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import mcubes
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
+
+
+def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
+    """Steps: density grid -> marching tetrahedra -> radius-outlier removal
+    -> FPS-1000 + normals.  Returns (mverts, subverts, subnormals)."""
+
+    def dens_fn(pts):
+        return field.apply(params, pts, method=field.density)
+
+    grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
+    verts_idx, _tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.density_threshold)
+    mverts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
+    mverts_j = jnp.asarray(mverts, jnp.float32)
+    keep = pc.radius_outlier_mask(mverts_j, cfg.outlier_nb_points, cfg.outlier_radius)
+    mverts = np.asarray(mverts)[np.asarray(keep)]
+    mverts_j = jnp.asarray(mverts, jnp.float32)
+    n_sub = min(cfg.n_subsurface, mverts.shape[0])
+    sub, normals, _ = pc.subsample_surface(mverts_j, n_sub, normals_k=min(cfg.normals_k, n_sub))
+    return mverts, np.asarray(sub), np.asarray(normals)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts"))
+def view_surface_hits(
+    field,
+    params,
+    cam: cam_lib.Camera,
+    sil: jnp.ndarray,
+    mverts_pad: jnp.ndarray,
+    mverts_mask: jnp.ndarray,
+    image_size: int,
+    n_pts: int,
+    min_depth: float,
+    max_depth: float,
+    threshold: float,
+    mesh_dist: float,
+    back_div: float,
+):
+    """One view's front + back surface hits, fixed shape (S*S).
+
+    Returns dict of arrays + validity masks.
+    """
+
+    def field_fn(pts, dirs, mode):
+        return field.apply(params, pts, dirs, mode)
+
+    # Front pass: grid rays, thresholded EA weights.
+    images, weights, bundle = renderer.render_grid_chunked(
+        field_fn,
+        cam,
+        image_size,
+        n_pts,
+        min_depth,
+        max_depth,
+        mode="feature",
+        threshold_mode=True,
+        threshold=threshold,
+        chunk=min(4096, image_size * image_size),
+    )
+    pos_vec = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
+    sil_flat = sil.reshape(-1) > 0.5
+    hit = weights.sum(-1) > 0  # ray actually crossed the surface
+    d_mesh, _ = pc.nn_query(pos_vec, mverts_pad, ref_mask=mverts_mask)
+    front_valid = sil_flat & hit & (d_mesh < mesh_dist)
+
+    # Back pass (generateCors.py:323-334): rays from the front hit pointing
+    # along -normalize(camera origin); lengths rescaled by /3.
+    back = renderer.back_ray_bundle(bundle._replace(origins=bundle.origins), pos_vec, div=back_div)
+
+    def back_density(args):
+        o, d, l = args
+        pts = o[:, None, :] + d[:, None, :] * l[:, :, None]
+        dens = field.apply(params, pts, method=field.density)
+        return dens[..., 0]
+
+    chunk = min(4096, image_size * image_size)
+    n = back.origins.shape[0]
+    n_chunks = n // chunk if n % chunk == 0 else n // chunk + 1
+    pad = n_chunks * chunk - n
+    o = jnp.pad(back.origins, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    dd = jnp.pad(back.directions, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    ll = jnp.pad(back.lengths, ((0, pad), (0, 0))).reshape(n_chunks, chunk, n_pts)
+    dens = jax.lax.map(back_density, (o, dd, ll)).reshape(-1, n_pts)[:n]
+    bw = raymarch.back_weights(dens, threshold_mode=True, threshold=0.05)
+    back_vec = raymarch.surface_points(back.origins, back.directions, back.lengths, bw)
+    d_mesh_b, _ = pc.nn_query(back_vec, mverts_pad, ref_mask=mverts_mask)
+    back_valid = front_valid & (bw.sum(-1) > 0) & (d_mesh_b < mesh_dist)
+
+    return {
+        "xys": bundle.xys,
+        "pos_vec": pos_vec,
+        "front_valid": front_valid,
+        "back_vec": back_vec,
+        "back_valid": back_valid,
+    }
+
+
+def _pad_cloud(verts: np.ndarray, multiple: int = 8192):
+    n = verts.shape[0]
+    padded = int(np.ceil(max(n, 1) / multiple) * multiple)
+    out = np.zeros((padded, 3), np.float32)
+    out[:n] = verts
+    mask = np.zeros((padded,), bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def generate_cors(
+    field,
+    params,
+    R_bop,
+    t_bop,
+    K,
+    sils,
+    out_dir: str,
+    objid,
+    cfg: CorsConfig = CorsConfig(),
+    grid_res: int = 128,
+    image_size: int | None = None,
+    depth_margin: float = 2.0,
+):
+    """Run the full correspondence precompute and write the artifact bus.
+
+    ``sils`` may be at a different resolution than ``image_size``; the
+    reference re-loads data at render_size=224 (generateCors.py:97).
+    """
+    S = image_size or cfg.render_size
+    cors = artifacts.cors_dir(out_dir, objid)
+    os.makedirs(cors, exist_ok=True)
+
+    mverts, sub, subnormals = extract_surface(field, params, cfg, grid_res)
+    artifacts.save_array(cors, "a1.npy", mverts)
+    artifacts.save_array(cors, "subvert1.npy", sub)
+    artifacts.save_array(cors, "subnormal1.npy", subnormals)
+
+    mverts_pad, mverts_mask = _pad_cloud(mverts)
+    cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
+    z = np.abs(np.asarray(t_bop)[:, 2])
+    min_d, max_d = float(z.min() - depth_margin), float(z.max() + depth_margin)
+
+    n_views = np.asarray(R_bop).shape[0]
+    for i in range(n_views):
+        if artifacts.has_view_rays(cors, S, i):
+            continue  # idempotent skip (generateCors.py:277-278)
+        out = view_surface_hits(
+            field,
+            params,
+            cam_all[i],
+            jnp.asarray(sils[i]),
+            mverts_pad,
+            mverts_mask,
+            S,
+            cfg.grid_pts_per_ray,
+            min_d,
+            max_d,
+            cfg.density_threshold,
+            cfg.mesh_filter_dist,
+            cfg.back_len_div,
+        )
+        fv = np.asarray(out["front_valid"])
+        bv = np.asarray(out["back_valid"])
+        xys = np.asarray(out["xys"])
+        artifacts.save_view_rays(
+            cors,
+            S,
+            i,
+            xys[fv],
+            np.asarray(out["pos_vec"])[fv],
+            xys[bv],
+            np.asarray(out["back_vec"])[bv],
+        )
+    return cors

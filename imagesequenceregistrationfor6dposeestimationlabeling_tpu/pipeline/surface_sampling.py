@@ -1,0 +1,108 @@
+"""Monte-Carlo surface-hit sampling over all training views.
+
+Shared by the negative-key build (trainPose.py:315-353) and feature baking
+(genFeat.py:160-216): render mask-restricted MC rays with thresholded EA
+weights and keep the per-ray surface hit o + d * argmax(w * l).
+
+TPU design: one jitted function per (camera, loop) slice with a *fixed*
+ray count; silhouette restriction is a categorical draw over mask pixels
+instead of dynamic filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch
+
+
+@functools.partial(jax.jit, static_argnames=("field", "n_rays", "n_pts", "image_size"))
+def _hits_one_view(
+    field,
+    params,
+    cam: cam_lib.Camera,
+    sil: jnp.ndarray,
+    key: jax.Array,
+    n_rays: int,
+    n_pts: int,
+    image_size: int,
+    min_depth: float,
+    max_depth: float,
+    threshold: float,
+):
+    S = image_size
+    k_pix, k_jit, k_z = jax.random.split(key, 3)
+    flat = sil.reshape(-1)
+    logits = jnp.where(flat > 0.5, 0.0, -1e9)
+    pix = jax.random.categorical(k_pix, logits, shape=(n_rays,))
+    py = (pix // S).astype(jnp.float32)
+    px = (pix % S).astype(jnp.float32)
+    jitter = jax.random.uniform(k_jit, (n_rays, 2))
+    xy_pix = jnp.stack([px, py], -1) + jitter
+    xys = cam_lib.pixel_to_ndc(xy_pix, S)
+    dirs = cam_lib.ndc_directions(cam, xys)
+    origins = jnp.broadcast_to(cam_lib.camera_center(cam)[None, :], dirs.shape)
+    edges = jnp.linspace(min_depth, max_depth, n_pts + 1)
+    u = jax.random.uniform(k_z, (n_rays, n_pts))
+    lengths = edges[:-1] + (edges[1:] - edges[:-1]) * u
+    pts = origins[:, None, :] + dirs[:, None, :] * lengths[:, :, None]
+    dens = field.apply(params, pts, method=field.density)[..., 0]
+    dens = raymarch.threshold_densities(dens, threshold)
+    w = raymarch.ea_weights(dens)
+    hits = raymarch.surface_points(origins, dirs, lengths, w)
+    valid = (flat[pix] > 0.5) & (w.sum(-1) > 0)
+    return hits, valid, xys
+
+
+def sample_surface_hits(
+    field,
+    params,
+    R_bop,
+    t_bop,
+    K,
+    sils,
+    n_loops: int,
+    rays_per_image: int,
+    image_size: int,
+    n_pts: int = 128,
+    threshold: float = 0.2,
+    depth_margin: float = 2.0,
+    seed: int = 0,
+):
+    """Collect surface hits over `n_loops` passes of all views.
+
+    Returns (hits (M, 3) np.ndarray) with invalid rays already dropped.
+    """
+    S = image_size
+    cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
+    z = np.abs(np.asarray(t_bop)[:, 2])
+    min_d, max_d = float(z.min() - depth_margin), float(z.max() + depth_margin)
+    n_views = np.asarray(R_bop).shape[0]
+    key = jax.random.PRNGKey(seed)
+    all_hits = []
+    for loop in range(n_loops):
+        for i in range(n_views):
+            key, sub = jax.random.split(key)
+            hits, valid, _ = _hits_one_view(
+                field,
+                params,
+                cam_all[i],
+                jnp.asarray(sils[i]),
+                sub,
+                rays_per_image,
+                n_pts,
+                S,
+                min_d,
+                max_d,
+                threshold,
+            )
+            v = np.asarray(valid)
+            all_hits.append(np.asarray(hits)[v])
+    if not all_hits:
+        return np.zeros((0, 3), np.float32)
+    return np.concatenate(all_hits, axis=0)
