@@ -70,8 +70,9 @@ def test_point_cloud_on_surface(trained):
     scene, field, state, losses = trained
     verts, tris = nerf_trainer.extract_point_cloud(field, state.params_fine, threshold=0.3, grid_res=48)
     assert verts.shape[0] > 100
-    # distance of extracted verts to the analytic surface (density 0.5 level)
-    dens = np.asarray(synthetic.analytic_density(jnp.asarray(verts)))[:, 0]
-    # most verts should be near the transition band of the analytic field
-    frac_in_band = ((dens > 0.02) & (dens < 0.98)).mean()
-    assert frac_in_band > 0.55, frac_in_band
+    # geometric distance of extracted verts to the analytic blob surface
+    d = np.linalg.norm(
+        verts[:, None, :] - np.asarray(synthetic._CENTERS)[None], axis=-1
+    ) - np.asarray(synthetic._RADII)[None]
+    sdf = np.abs(d.min(-1))
+    assert np.median(sdf) < 0.12, np.median(sdf)
