@@ -1,0 +1,233 @@
+"""On-device image augmentation for descriptor training.
+
+Rebuilds augment.py:284-432 + dataGen.py as a *jittable, batched* JAX
+pipeline instead of CPU DataLoader workers — the TPU never starves
+(SURVEY.md hard part #5).  Per image:
+
+* random rotation/scale/translation with the SurfEmb scale rule
+  ``224/max(w,h)/1.2 * U(1 +- 0.05*fac)`` (augment.py:332-337),
+* occlusion cutouts + line erosion of the mask (augment.py:315-324,
+  434-489),
+* random smooth background compositing (stand-in for the COCO paste,
+  augment.py:297-314 — no external dataset needed),
+* color jitter and border blackout (augment.py:422-428),
+* ImageNet normalization (dataGen.py:10-20).
+
+The affine transform is returned as (A, t) acting on NDC ray coordinates:
+``xys' = xys @ A.T + t`` — the exact warp applied to the image, so the
+per-view ray dumps stay aligned (augment.py:639-702 getNerfSamples does
+the same with cv2 rotation matrices).  Both the image warp and the xys
+transform are generated from one parameter set, and the self-consistency
+is unit-tested (the reference's #1 silent-failure risk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import normalize_image
+
+
+class AugmentConfig(NamedTuple):
+    crop_res: int = 224
+    pad: float = 1.2                  # SurfEmb crop pad
+    scale_jitter: float = 0.075       # 0.05 * surfEmbScaleFac(1.5)
+    trans_frac: float = 0.1           # transScale(0.2) * imX/2 -> frac of S
+    p_background: float = 0.9         # augment.py:300
+    p_occlude: float = 0.49           # maskErosion 0.7 * inner 0.7
+    p_line_erode: float = 0.49
+    p_color_jitter: float = 0.7
+    p_border: float = 0.4
+    min_mask_sum: float = 200.0       # maskMax analog at our test scales
+
+
+class Augmented(NamedTuple):
+    rgb: jnp.ndarray        # (S, S, 3) ImageNet-normalized
+    mask_full: jnp.ndarray  # (S, S) transformed original mask (BCE target)
+    mask_crop: jnp.ndarray  # (S, S) transformed occluded mask
+    A: jnp.ndarray          # (2, 2) NDC linear part
+    t: jnp.ndarray          # (2,) NDC translation
+
+
+def transform_xys(xys: jnp.ndarray, A: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Apply the augmentation to NDC ray coordinates."""
+    return xys @ A.T + t
+
+
+def _mask_bbox(mask: jnp.ndarray):
+    """(x, y, w, h) of the mask's bounding box (cv2.boundingRect equiv)."""
+    S = mask.shape[0]
+    cols = mask.max(axis=0) > 0.5
+    rows = mask.max(axis=1) > 0.5
+    idx = jnp.arange(S)
+    x0 = jnp.min(jnp.where(cols, idx, S))
+    x1 = jnp.max(jnp.where(cols, idx, -1))
+    y0 = jnp.min(jnp.where(rows, idx, S))
+    y1 = jnp.max(jnp.where(rows, idx, -1))
+    w = jnp.maximum(x1 - x0 + 1, 1)
+    h = jnp.maximum(y1 - y0 + 1, 1)
+    return x0, y0, w, h
+
+
+def _bilinear_sample(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """img (S, S, C); px/py continuous pixel coords (pixel i center i+0.5)."""
+    S = img.shape[0]
+    x = px - 0.5
+    y = py - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(ix, iy):
+        valid = (ix >= 0) & (ix < S) & (iy >= 0) & (iy < S)
+        return img[jnp.clip(iy, 0, S - 1), jnp.clip(ix, 0, S - 1)] * valid[..., None]
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def warp_affine_ndc(img: jnp.ndarray, A: jnp.ndarray, t: jnp.ndarray, nearest: bool = False):
+    """Warp so that content at NDC u appears at u' = A u + t.
+
+    NDC convention matches geometry.cameras: u = 1 - 2*p/S (both axes),
+    so pixels transform as (p' - S/2) = A (p - S/2) - (S/2) t.
+    """
+    S = img.shape[0]
+    ii = jnp.arange(S, dtype=jnp.float32) + 0.5
+    py, px = jnp.meshgrid(ii, ii, indexing="ij")
+    # output pixel -> output NDC
+    ux = 1.0 - 2.0 * px / S
+    uy = 1.0 - 2.0 * py / S
+    u_out = jnp.stack([ux, uy], axis=-1)  # (S, S, 2)
+    A_inv = jnp.linalg.inv(A)
+    u_in = (u_out - t) @ A_inv.T
+    px_in = (1.0 - u_in[..., 0]) * S / 2.0
+    py_in = (1.0 - u_in[..., 1]) * S / 2.0
+    if nearest:
+        xi = jnp.clip(jnp.floor(px_in).astype(jnp.int32), 0, S - 1)
+        yi = jnp.clip(jnp.floor(py_in).astype(jnp.int32), 0, S - 1)
+        valid = (px_in >= 0) & (px_in < S) & (py_in >= 0) & (py_in < S)
+        out = img[yi, xi]
+        return out * valid[..., None] if img.ndim == 3 else out * valid
+    if img.ndim == 2:
+        return _bilinear_sample(img[..., None], px_in, py_in)[..., 0]
+    return _bilinear_sample(img, px_in, py_in)
+
+
+def _smooth_noise(key, S, channels=3, res=8):
+    low = jax.random.uniform(key, (res, res, channels))
+    return jax.image.resize(low, (S, S, channels), "linear")
+
+
+def _occlude(key, mask, x0, y0, w, h):
+    """Rectangle cutout inside the bbox (augment.py:465-489)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    S = mask.shape[0]
+    nx = x0 + (jax.random.uniform(k1) * w).astype(jnp.int32)
+    ny = y0 + (jax.random.uniform(k2) * h).astype(jnp.int32)
+    max_w = jnp.minimum(w, 30 + (jax.random.uniform(k3) * 40).astype(jnp.int32))
+    max_h = jnp.minimum(h, 30 + (jax.random.uniform(k4) * 40).astype(jnp.int32))
+    nw = (jax.random.uniform(k3) * max_w).astype(jnp.int32)
+    nh = (jax.random.uniform(k4) * max_h).astype(jnp.int32)
+    ii = jnp.arange(S)
+    in_x = (ii >= nx) & (ii < nx + nw)
+    in_y = (ii >= ny) & (ii < ny + nh)
+    cut = in_y[:, None] & in_x[None, :]
+    return jnp.where(cut, 0.0, mask)
+
+
+def _line_erode(key, mask, x0, y0, w, h):
+    """Half-plane cut through a random bbox point (augment.py:434-462)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    S = mask.shape[0]
+    cx = x0.astype(jnp.float32) + jax.random.uniform(k1) * w
+    cy = y0.astype(jnp.float32) + jax.random.uniform(k2) * h
+    phi = jax.random.uniform(k3) * 2 * jnp.pi
+    n = jnp.asarray([jnp.cos(phi), jnp.sin(phi)])
+    ii = jnp.arange(S, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ii, ii, indexing="ij")
+    side = (px - cx) * n[0] + (py - cy) * n[1]
+    return jnp.where(side > 0, 0.0, mask)
+
+
+def augment_view(key: jax.Array, rgb: jnp.ndarray, mask: jnp.ndarray, cfg: AugmentConfig = AugmentConfig()) -> Augmented:
+    """Augment one (S, S, 3) image + (S, S) mask.  vmap over the batch."""
+    S = rgb.shape[0]
+    keys = jax.random.split(key, 12)
+    x0, y0, w, h = _mask_bbox(mask)
+
+    # --- geometric params (augment.py:329-342)
+    theta = jax.random.uniform(keys[0]) * 2 * jnp.pi
+    base_scale = cfg.crop_res / jnp.maximum(w, h).astype(jnp.float32) / cfg.pad
+    # our images are already crops at resolution S; rescale rule relative to S
+    base_scale = base_scale * (S / cfg.crop_res)
+    scale = base_scale * jax.random.uniform(
+        keys[1], minval=1.0 - cfg.scale_jitter, maxval=1.0 + cfg.scale_jitter
+    )
+    t_ndc = jax.random.uniform(keys[2], (2,), minval=-cfg.trans_frac, maxval=cfg.trans_frac)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    A = scale * jnp.asarray([[c, -s], [s, c]])
+
+    # --- mask occlusions BEFORE the warp (augment.py:315-324)
+    occluded = mask
+    m1 = _occlude(keys[3], occluded, x0, y0, w, h)
+    occluded = jnp.where(
+        (jax.random.uniform(keys[4]) < cfg.p_occlude) & (m1.sum() > cfg.min_mask_sum), m1, occluded
+    )
+    m2 = _line_erode(keys[5], occluded, x0, y0, w, h)
+    occluded = jnp.where(
+        (jax.random.uniform(keys[6]) < cfg.p_line_erode) & (m2.sum() > cfg.min_mask_sum), m2, occluded
+    )
+
+    # --- warp
+    rgb_w = warp_affine_ndc(rgb, A, t_ndc)
+    mask_full_w = warp_affine_ndc(mask, A, t_ndc, nearest=True)
+    mask_crop_w = warp_affine_ndc(occluded, A, t_ndc, nearest=True)
+
+    # --- background composite (augment.py:297-314, 370-374)
+    bg = _smooth_noise(keys[7], S)
+    use_bg = jax.random.uniform(keys[8]) < cfg.p_background
+    bg = jnp.where(use_bg, bg, jnp.zeros_like(bg))
+    out = jnp.where(mask_crop_w[..., None] > 0.5, rgb_w, bg)
+
+    # --- color jitter on the composited image (augment.py:422-423)
+    kj = jax.random.split(keys[9], 3)
+    gain = jax.random.uniform(kj[0], (3,), minval=0.8, maxval=1.2)
+    bias = jax.random.uniform(kj[1], (3,), minval=-0.08, maxval=0.08)
+    gamma = jax.random.uniform(kj[2], minval=0.8, maxval=1.25)
+    jittered = jnp.clip(jnp.clip(out, 0, 1) ** gamma * gain + bias, 0.0, 1.0)
+    out = jnp.where(jax.random.uniform(keys[10]) < cfg.p_color_jitter, jittered, out)
+
+    # --- border blackout (augment.py:425-428): zero outside dilated mask
+    dil = jax.lax.reduce_window(
+        mask_crop_w, -jnp.inf, jax.lax.max, (9, 9), (1, 1), "SAME"
+    )
+    blacked = out * (dil > 0.5)[..., None]
+    out = jnp.where(jax.random.uniform(keys[11]) < cfg.p_border, blacked, out)
+
+    return Augmented(normalize_image(out), mask_full_w, mask_crop_w, A, t_ndc)
+
+
+augment_batch = jax.jit(
+    jax.vmap(augment_view, in_axes=(0, 0, 0, None)), static_argnames=()
+)
+
+
+def select_ray_samples(key, xys, valid, sample_size: int):
+    """Fixed-size sample of ray indices with |xys'| < 1 (getNerfSamples,
+    augment.py:649-653/668-678).  Samples with replacement when needed."""
+    in_bounds = (jnp.abs(xys[..., 0]) < 1.0) & (jnp.abs(xys[..., 1]) < 1.0) & valid
+    logits = jnp.where(in_bounds, 0.0, -1e9)
+    return jax.random.categorical(key, logits, shape=(sample_size,))
