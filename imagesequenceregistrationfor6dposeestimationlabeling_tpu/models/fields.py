@@ -23,6 +23,7 @@ large (surface extraction).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import flax.linen as nn
@@ -65,7 +66,7 @@ class SirenLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        bound = (1.0 / in_dim) if self.is_first else (jnp.sqrt(6.0 / in_dim) / self.omega)
+        bound = (1.0 / in_dim) if self.is_first else (math.sqrt(6.0 / in_dim) / self.omega)
         h = nn.Dense(
             self.features, kernel_init=_sym_uniform(bound), bias_init=_sym_uniform(bound)
         )(x)
@@ -85,7 +86,7 @@ class Siren(nn.Module):
         h = SirenLayer(self.hidden_features, is_first=True)(x)
         for _ in range(self.hidden_layers):
             h = SirenLayer(self.hidden_features)(h)
-        bound = float(jnp.sqrt(6.0 / self.hidden_features) / 30.0)
+        bound = math.sqrt(6.0 / self.hidden_features) / 30.0
         return nn.Dense(
             self.out_features, kernel_init=_sym_uniform(bound), bias_init=_sym_uniform(bound)
         )(h)

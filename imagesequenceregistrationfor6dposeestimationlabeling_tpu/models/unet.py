@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -71,18 +72,18 @@ class ResNetUNet(nn.Module):
             skips.append(h)
         # skips: [H/2 (64), H/4 (64), H/8 (128), H/16 (256), H/32 (512)]
 
-        def upsample(t, factor=2):
-            b, hh, ww, c = t.shape
-            return jnp.repeat(jnp.repeat(t, factor, axis=1), factor, axis=2)
+        def upsample_to(t, hh, ww):
+            b, _, _, c = t.shape
+            return jax.image.resize(t, (b, hh, ww, c), "nearest")
 
         h = skips[-1]
         for skip in reversed(skips[:-1]):
-            h = upsample(h)
+            h = upsample_to(h, skip.shape[1], skip.shape[2])
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
             h = nn.Conv(self.decoder_width * 2, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
             h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
         # final upsample to full res
-        h = upsample(h)
+        h = upsample_to(h, H, W)
         h = nn.Conv(self.decoder_width, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
         h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
         out = nn.Conv(self.n_class, (1, 1), dtype=jnp.float32)(h)

@@ -1,0 +1,44 @@
+"""Checkpointing with orbax — replaces torch.save/load of state dicts
+(trainNerfFine.py:227-235, trainPose.py:239-242, SURVEY.md §5).
+
+Same cadence semantics as the reference: fixed 'latest' names, save every
+N steps, resume via --cont.  Stores (params pytree, step).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save(path: str, tree: Any, step: int = 0):
+    """Overwrite-save a pytree checkpoint at `path` (a directory)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tmp = {"tree": tree, "step": np.asarray(step)}
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, tmp)
+    ckptr.wait_until_finished()
+
+
+def load(path: str, like: Any = None):
+    """Load a checkpoint saved by `save`.  Returns (tree, step)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        target = {"tree": like, "step": np.asarray(0)}
+        out = ckptr.restore(path, target=target)
+    else:
+        out = ckptr.restore(path)
+    return out["tree"], int(out["step"])
+
+
+def exists(path: str) -> bool:
+    return os.path.isdir(os.path.abspath(path))

@@ -1,0 +1,265 @@
+"""SurfEmb descriptor training — trainPose.py rebuilt as jitted steps.
+
+Two phases, as in the reference:
+
+1. **Negative-key build** (trainPose.py:315-353): sample surface hits over
+   20 passes of all views, FPS -> 80k, keep |x| < 1.2, keep points within
+   0.05 of the denoised marching-cubes cloud -> ``negVec.npy``.
+2. **Contrastive training** (trainPose.py:222-450): per step,
+   * augment a batch of views on device (train/augment.py),
+   * CNN queries: ResNet-UNet -> 12-d map + mask logit,
+   * keys: NeRF feature head at the per-view front surface hits (posVec)
+     whose xys went through the same augmentation transform,
+   * negatives: feature head at noisy negVec samples (key_noise 1e-3),
+   * loss = InfoNCE(q, k, neg)/1000 + BCE(mask)/1000 (nutil.py:368-385,
+     trainPose.py:415-432),
+   * Adam, lr 3e-4 (CNN) / 3e-5 (NeRF feature head), linear warmup /2000
+     (trainPose.py:208-236); only the feature head of the NeRF trains.
+
+TPU design: augmentation, both networks, sampling and the loss are one
+XLA program; the batch dim shards over the mesh 'data' axis.  Ray dumps
+are pre-padded to a fixed per-view count so shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import PoseTrainConfig
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import grid_sample
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, surface_sampling
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
+
+
+def info_nce_with_neg(q: jnp.ndarray, k: jnp.ndarray, k_neg: jnp.ndarray, scale: float = 1e-3):
+    """returnCrossEntropyWithNeg (nutil.py:368-385): per positive pair,
+    cross entropy of [q.k, q @ k_neg^T] against class 0, divided by 1000.
+
+    q, k: (B, P, E); k_neg: (B, N, E).
+    """
+    sim_pos = jnp.sum(q * k, axis=-1, keepdims=True)  # (B, P, 1)
+    sim_neg = jnp.einsum("bpe,bne->bpn", q, k_neg)  # (B, P, N)
+    lgts = jnp.concatenate([sim_pos, sim_neg], axis=-1)
+    logz = jax.nn.logsumexp(lgts, axis=-1)
+    ce = logz - lgts[..., 0]
+    return jnp.mean(ce) * scale
+
+
+def build_negatives(
+    field,
+    params,
+    R_bop,
+    t_bop,
+    K,
+    sils,
+    mverts: np.ndarray,
+    cfg: PoseTrainConfig,
+    image_size: int = 224,
+    rays_per_image: int = 50,
+    n_loops: int = 20,
+    threshold: float = 0.2,
+    seed: int = 0,
+) -> np.ndarray:
+    """Phase 1: the negVec cloud (trainPose.py:315-353)."""
+    hits = surface_sampling.sample_surface_hits(
+        field, params, R_bop, t_bop, K, sils,
+        n_loops=n_loops, rays_per_image=rays_per_image, image_size=image_size,
+        threshold=threshold, seed=seed,
+    )
+    hits_j = jnp.asarray(hits, jnp.float32)
+    n_fps = min(cfg.n_neg, hits.shape[0])
+    idx = pc.farthest_point_sampling(hits_j, n_fps)
+    neg = np.asarray(hits_j[idx])
+    neg = neg[np.abs(neg).max(-1) < cfg.neg_bound]
+    d, _ = pc.nn_query(jnp.asarray(neg), jnp.asarray(mverts, jnp.float32))
+    return neg[np.asarray(d) < cfg.neg_mesh_dist]
+
+
+class PoseTrainState(NamedTuple):
+    nerf_params: dict
+    cnn_params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_pose_optimizer(cfg: PoseTrainConfig):
+    """Adam with per-group LR + linear warmup (trainPose.py:208-236).
+    The NeRF side trains only the feature head."""
+    warmup = cfg.warmup_steps
+
+    def sched(base):
+        return lambda step: base * jnp.minimum((step + 1) / warmup, 1.0)
+
+    nerf_label = fields.freeze_spec(train_feature_head=True)
+
+    def label_tree(params):
+        nerf_p, cnn_p = params
+        return ({"params": nerf_label(nerf_p["params"])}, jax.tree.map(lambda _: "cnn", cnn_p))
+
+    tx = optax.multi_transform(
+        {
+            "train": optax.adam(learning_rate=sched(cfg.lr_mlp)),
+            "freeze": optax.set_to_zero(),
+            "cnn": optax.adam(learning_rate=sched(cfg.lr_cnn)),
+        },
+        label_tree,
+    )
+    return tx
+
+
+class RayBank(NamedTuple):
+    """Fixed-shape per-view ray dumps, padded to max_rays per view."""
+
+    pos_vec: jnp.ndarray   # (V, M, 3)
+    xys: jnp.ndarray       # (V, M, 2)
+    back_vec: jnp.ndarray  # (V, Mb, 3)
+    back_xys: jnp.ndarray  # (V, Mb, 2)
+    valid: jnp.ndarray     # (V, M) bool
+    back_valid: jnp.ndarray
+
+
+def load_ray_bank(cors_dir: str, render_size: int, n_views: int, max_rays: Optional[int] = None) -> RayBank:
+    """Load the artifact bus into padded device arrays."""
+    pos, xys, bxys, bvec = [], [], [], []
+    for i in range(n_views):
+        x, p, bx, bv = artifacts.load_view_rays(cors_dir, render_size, i)
+        xys.append(x); pos.append(p); bxys.append(bx); bvec.append(bv)
+    M = max_rays or max(max(p.shape[0] for p in pos), 1)
+    Mb = max_rays or max(max(b.shape[0] for b in bvec), 1)
+
+    def padto(arrs, m, dim):
+        out = np.zeros((n_views, m, dim), np.float32)
+        val = np.zeros((n_views, m), bool)
+        for i, a in enumerate(arrs):
+            k = min(a.shape[0], m)
+            out[i, :k] = a[:k]
+            val[i, :k] = True
+        return out, val
+
+    pos_p, valid = padto(pos, M, 3)
+    xys_p, _ = padto(xys, M, 2)
+    bvec_p, bvalid = padto(bvec, Mb, 3)
+    bxys_p, _ = padto(bxys, Mb, 2)
+    return RayBank(
+        jnp.asarray(pos_p), jnp.asarray(xys_p), jnp.asarray(bvec_p), jnp.asarray(bxys_p),
+        jnp.asarray(valid), jnp.asarray(bvalid),
+    )
+
+
+def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig):
+    """One jitted descriptor-training step over a batch of view indices."""
+
+    def loss_fn(params, images, sils, pos_vec, xys, valid, neg_pts, key):
+        nerf_params, cnn_params = params
+        B = images.shape[0]
+        k_aug, k_sel, k_noise = jax.random.split(key, 3)
+
+        # --- on-device augmentation
+        aug = jax.vmap(aug_lib.augment_view, in_axes=(0, 0, 0, None))(
+            jax.random.split(k_aug, B), images, sils, aug_cfg
+        )
+
+        # --- transform ray xys by the same affine; fixed-size selection
+        new_xys = jax.vmap(aug_lib.transform_xys)(xys, aug.A, aug.t)
+        sel = jax.vmap(aug_lib.select_ray_samples, in_axes=(0, 0, 0, None))(
+            jax.random.split(k_sel, B), new_xys, valid, cfg.sample_size
+        )  # (B, S)
+        sel_xys = jnp.take_along_axis(new_xys, sel[..., None], axis=1)
+        sel_pos = jnp.take_along_axis(pos_vec, sel[..., None], axis=1)
+
+        # --- CNN queries (trainPose.py:258-263)
+        feat_full = cnn.apply(cnn_params, aug.rgb)  # (B, S, S, 13)
+        mask_logit = feat_full[..., -1]
+        q_map = feat_full[..., :12]
+        queries = grid_sample(q_map, -sel_xys, mode="nearest")  # (B, S, 12)
+
+        # --- keys from the NeRF feature head (trainPose.py:379-394)
+        keys = field.apply(nerf_params, sel_pos, method=field.features)
+
+        # --- negatives with key noise (trainPose.py:357-376)
+        n_neg_total = neg_pts.shape[0]
+        k_pick, k_jitter = jax.random.split(k_noise)
+        neg_idx = jax.random.randint(k_pick, (B, cfg.sample_size), 0, n_neg_total)
+        neg = neg_pts[neg_idx]
+        neg = neg + jax.random.normal(k_jitter, neg.shape) * cfg.key_noise
+        neg_keys = field.apply(nerf_params, neg, method=field.features)
+
+        nce = info_nce_with_neg(queries, keys, neg_keys, cfg.infonce_scale)
+        bce = optax.sigmoid_binary_cross_entropy(mask_logit, aug.mask_full).mean()
+        loss = nce + bce * cfg.mask_loss_scale
+        return loss, {"nce": nce, "bce": bce * cfg.mask_loss_scale}
+
+    @jax.jit
+    def step_fn(state: PoseTrainState, images, sils, pos_vec, xys, valid, neg_pts, key):
+        params = (state.nerf_params, state.cnn_params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, sils, pos_vec, xys, valid, neg_pts, key
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, params)
+        nerf_p, cnn_p = optax.apply_updates(params, updates)
+        return PoseTrainState(nerf_p, cnn_p, new_opt, state.step + 1), loss, aux
+
+    return step_fn
+
+
+def train_pose(
+    field,
+    nerf_params,
+    images,
+    sils,
+    ray_bank: RayBank,
+    neg_pts: np.ndarray,
+    cfg: PoseTrainConfig = PoseTrainConfig(),
+    aug_cfg: Optional[aug_lib.AugmentConfig] = None,
+    n_steps: int = 1000,
+    seed: int = 1,
+    cnn: Optional[ResNetUNet] = None,
+    log_every: int = 0,
+):
+    """Phase-2 training loop.  Returns (state, cnn, losses)."""
+    S = images.shape[1]
+    aug_cfg = aug_cfg or aug_lib.AugmentConfig(crop_res=S, min_mask_sum=10.0)
+    cnn = cnn or ResNetUNet()
+    key = jax.random.PRNGKey(seed)
+    k_init, key = jax.random.split(key)
+    cnn_params = cnn.init(k_init, jnp.zeros((1, S, S, 3)))
+    tx = make_pose_optimizer(cfg)
+    opt_state = tx.init((nerf_params, cnn_params))
+    state = PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
+    step_fn = make_pose_train_step(field, cnn, tx, cfg, aug_cfg)
+
+    neg_j = jnp.asarray(neg_pts, jnp.float32)
+    n = images.shape[0]
+    bs = min(cfg.batch_size, n)
+    rng = np.random.default_rng(seed)
+    losses = []
+    for step in range(n_steps):
+        idx = rng.permutation(n)[:bs]
+        if len(idx) < bs:
+            idx = np.concatenate([idx, idx[: bs - len(idx)]])
+        idx_j = jnp.asarray(idx)
+        key, sub = jax.random.split(key)
+        state, loss, aux = step_fn(
+            state,
+            images[idx_j],
+            sils[idx_j],
+            ray_bank.pos_vec[idx_j],
+            ray_bank.xys[idx_j],
+            ray_bank.valid[idx_j],
+            neg_j,
+            sub,
+        )
+        losses.append(float(loss))
+        if log_every and step % log_every == 0:
+            print(f"pose step {step}: loss={float(loss):.5f} nce={float(aux['nce']):.5f} bce={float(aux['bce']):.6f}")
+    return state, cnn, losses
