@@ -90,14 +90,17 @@ def analytic_surface_points(n: int, key: jax.Array) -> jnp.ndarray:
 
 
 def analytic_features(pts: jnp.ndarray) -> jnp.ndarray:
-    """A deterministic 12-d 'descriptor' of position: color + sinusoids.
-    Distinct surface points get distinct keys, so correspondence matching
-    can be tested without training."""
+    """A deterministic, injective 12-d 'descriptor' of position: color +
+    the (scaled) coordinates themselves + low-frequency waves.  The linear
+    coordinate block guarantees distinct surface points get distinct keys
+    (no aliasing), so correspondence matching is testable without training."""
     c = analytic_color(pts)
-    waves = jnp.concatenate(
-        [jnp.sin(3.1 * pts), jnp.cos(2.3 * pts), jnp.sin(5.7 * pts[..., ::-1])], axis=-1
-    )
-    return jnp.concatenate([c, waves], axis=-1)
+    waves = jnp.concatenate([jnp.sin(2.1 * pts), jnp.cos(1.3 * pts)], axis=-1)
+    f = jnp.concatenate([c, 2.0 * pts, waves], axis=-1)
+    # Unit-normalize (x3): correspondence uses dot-product argmax
+    # (inference.py:142-149), which is only meaningful for keys of equal
+    # norm — InfoNCE training produces exactly that structure.
+    return 3.0 * f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
 
 class AnalyticField:
@@ -187,7 +190,9 @@ def make_scene(
     key = key if key is not None else jax.random.PRNGKey(0)
     R_bop, t_bop = random_bop_poses(n_views, key, dist)
     S = image_size
-    f = 1.1 * S  # focal in pixels
+    # Focal chosen so the object fills most of the frame, matching the
+    # reference's tight SurfEmb crops (size = 224/max(w,h)/1.2).
+    f = 2.1 * S
     K = jnp.broadcast_to(
         jnp.asarray([[f, 0.0, S / 2], [0.0, f, S / 2], [0.0, 0.0, 1.0]]), (n_views, 3, 3)
     )

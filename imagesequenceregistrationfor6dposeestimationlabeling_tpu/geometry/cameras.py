@@ -77,7 +77,7 @@ def camera_from_bop(R_bop: jnp.ndarray, t_bop: jnp.ndarray, K: jnp.ndarray, imag
 
 def camera_center(cam: Camera) -> jnp.ndarray:
     """World-space camera origin:  C @ R + T = 0  =>  C = -T @ R^T."""
-    return -jnp.einsum("...j,...ij->...i", cam.T, cam.R)
+    return -jnp.einsum("...j,...ij->...i", cam.T, cam.R, precision=jax.lax.Precision.HIGHEST)
 
 
 def pixel_to_ndc(xy_pix: jnp.ndarray, S) -> jnp.ndarray:
@@ -102,12 +102,12 @@ def ndc_directions(cam: Camera, xys_ndc: jnp.ndarray) -> jnp.ndarray:
     d_cam = jnp.concatenate([d_xy, jnp.ones_like(d_xy[..., :1])], axis=-1)
     # world dir: x_cam = x_world @ R  =>  x_world = x_cam @ R^T ... but for
     # directions (no translation):  d_world = d_cam @ R^T.
-    return jnp.einsum("...nj,...ij->...ni", d_cam, cam.R)
+    return jnp.einsum("...nj,...ij->...ni", d_cam, cam.R, precision=jax.lax.Precision.HIGHEST)
 
 
 def project_points(cam: Camera, pts_world: jnp.ndarray):
     """World points -> (xy_ndc, z_cam)."""
-    x_cam = jnp.einsum("...nj,...ji->...ni", pts_world, cam.R) + cam.T[..., None, :]
+    x_cam = jnp.einsum("...nj,...ji->...ni", pts_world, cam.R, precision=jax.lax.Precision.HIGHEST) + cam.T[..., None, :]
     z = x_cam[..., 2]
     S = cam.image_size
     f_ndc = 2.0 * cam.focal / S

@@ -111,7 +111,7 @@ ROT180_Z = jnp.asarray([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]])
 
 def relative_pose(R1, t1, R2, t2):
     """``compute_rel_poses`` (choosePose.py:43-51): (R1^T R2, t2 - t1)."""
-    rel_R = jnp.swapaxes(R1, -1, -2) @ R2
+    rel_R = jnp.matmul(jnp.swapaxes(R1, -1, -2), R2, precision=jax.lax.Precision.HIGHEST)
     rel_t = t2 - t1
     return rel_R, rel_t
 
@@ -119,7 +119,7 @@ def relative_pose(R1, t1, R2, t2):
 def relative_pose_se3(R1, t1, R2, t2):
     """``calculate_relative_pose`` (verfication.py:9-19): T2 @ inv(T1)."""
     R1T = jnp.swapaxes(R1, -1, -2)
-    rel_R = R2 @ R1T
+    rel_R = jnp.matmul(R2, R1T, precision=jax.lax.Precision.HIGHEST)
     rel_t = t2 - jnp.einsum("...ij,...j->...i", rel_R, t1)
     return rel_R, rel_t
 
@@ -143,16 +143,16 @@ def kabsch(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray | None = Non
     mu_d = (dst * w[:, None]).sum(0)
     sc = src - mu_s
     dc = dst - mu_d
-    H = (sc * w[:, None]).T @ dc
+    H = jnp.matmul((sc * w[:, None]).T, dc, precision=jax.lax.Precision.HIGHEST)
     U, _, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0]))
     D = D.at[2, 2].set(d)
-    R = Vt.T @ D @ U.T
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=jax.lax.Precision.HIGHEST), U.T, precision=jax.lax.Precision.HIGHEST)
     t = mu_d - R @ mu_s
     return R, t
 
 
 def transform_points(R, t, pts):
     """Apply x -> x R^T + t, i.e. column-convention R x + t for row points."""
-    return jnp.einsum("...nj,...ij->...ni", pts, R) + t[..., None, :]
+    return jnp.einsum("...nj,...ij->...ni", pts, R, precision=jax.lax.Precision.HIGHEST) + t[..., None, :]

@@ -127,7 +127,7 @@ def p3p_grunert(p3d: jnp.ndarray, f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
 
 def reproject(R, t, K, pts):
     """(..., 3, 3) R, (..., 3) t, (N, 3) pts -> (..., N, 2) pixels and z."""
-    xc = jnp.einsum("...ij,nj->...ni", R, pts) + t[..., None, :]
+    xc = jnp.einsum("...ij,nj->...ni", R, pts, precision=jax.lax.Precision.HIGHEST) + t[..., None, :]
     z = xc[..., 2]
     u = K[0, 0] * xc[..., 0] / z + K[0, 2]
     v = K[1, 1] * xc[..., 1] / z + K[1, 2]
@@ -149,6 +149,7 @@ def ransac_pnp(
     K: jnp.ndarray,
     key: jax.Array,
     weights: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
     n_hyp: int = 500,
     reproj_err: float = 2.0,
     refine_iters: int = 10,
@@ -157,15 +158,19 @@ def ransac_pnp(
     inference.py:123-134: P3P flag, 500 iters, reprojectionError=2).
 
     Each hypothesis: 4 random correspondences -> P3P on 3 + disambiguation
-    on the 4th -> inlier count over all N on the MXU; best hypothesis is
+    on the 4th -> inlier count on the MXU; best hypothesis is
     Gauss-Newton-refined on its inliers (OpenCV refines with LM).
-    ``weights`` optionally biases the correspondence draw.
+    ``weights`` biases the correspondence draw; ``valid`` restricts which
+    correspondences may score as inliers (pad-and-mask discipline —
+    OpenCV simply never sees filtered-out points, inference.py:288-290).
     """
     N = p3d.shape[0]
     if weights is None:
         logits = jnp.zeros((N,))
     else:
         logits = jnp.log(jnp.maximum(weights, 1e-12))
+    if valid is None:
+        valid = jnp.ones((N,), bool) if weights is None else weights > 0
     keys = jax.random.split(key, 2)
     samp = jax.random.categorical(keys[0], logits, shape=(n_hyp, 4))
 
@@ -186,7 +191,7 @@ def ransac_pnp(
 
     uv, z = reproject(R_h, t_h, K, p3d)  # (H, N, 2)
     err = jnp.linalg.norm(uv - p2d[None], axis=-1)
-    inl = (err < reproj_err) & (z > 0)  # (H, N)
+    inl = (err < reproj_err) & (z > 0) & valid[None, :]  # (H, N)
     counts = jnp.where(ok_h, inl.sum(-1), -1)
     best = jnp.argmax(counts)
     R0, t0 = R_h[best], t_h[best]
@@ -200,7 +205,7 @@ def ransac_pnp(
         res = (uv - p2d) * inliers[:, None]  # (N, 2)
 
         # Jacobian wrt (omega, dt) of pixel residuals, evaluated analytically
-        xc = jnp.einsum("ij,nj->ni", R, p3d) + t
+        xc = jnp.einsum("ij,nj->ni", R, p3d, precision=jax.lax.Precision.HIGHEST) + t
         X, Y, Z = xc[:, 0], xc[:, 1], xc[:, 2]
         fx, fy = K[0, 0], K[1, 1]
         iZ = 1.0 / jnp.maximum(Z, 1e-9)

@@ -25,7 +25,7 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(N, 3) x (M, 3) -> (N, M) squared distances via MXU matmul."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = a @ b.T
+    cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
 
 
@@ -190,7 +190,7 @@ def estimate_normals(
     nbrs = pts[idx]  # (N, k, 3)
     mu = nbrs.mean(axis=1, keepdims=True)
     x = nbrs - mu
-    cov = jnp.einsum("nki,nkj->nij", x, x) / k
+    cov = jnp.einsum("nki,nkj->nij", x, x, precision=jax.lax.Precision.HIGHEST) / k
     w, v = jnp.linalg.eigh(cov)
     return v[..., 0]  # eigenvector of smallest eigenvalue
 

@@ -1,0 +1,116 @@
+"""Closed-loop pose inference: with ideal (analytic) queries and keys the
+pipeline must recover the GT pose well under 0.1 * diameter (ADD)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics, similarity
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import inference
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
+
+S = 96  # higher res so /3 downsample leaves enough pixels
+
+
+class PrecomputedQueries:
+    """CNN stand-in: 'params' is the precomputed (S, S, 13) query map."""
+
+    def apply(self, qmap, image_batch):
+        return qmap[None]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = synthetic.make_scene(n_views=3, image_size=S)
+    field = synthetic.AnalyticField()
+    # baked "CAD-scale" surface arrays; dense enough that correspondence
+    # quantization stays ~1px (pose accuracy is key-density-limited)
+    pts, ok = synthetic.analytic_surface_points(20000, jax.random.PRNGKey(7))
+    pts = pts[np.asarray(ok)]
+    scale = scene.diameter / 1.8
+    verts_scaled = np.asarray(pts) * scale
+    feats = np.asarray(synthetic.analytic_features(pts))
+    return scene, field, verts_scaled, feats, scale
+
+
+def make_query_map(scene, view):
+    """Ideal query map: analytic features of the per-pixel surface hit."""
+    cam = cam_lib.camera_from_bop(scene.R_bop, scene.t_bop, scene.K, S)[view]
+    z = np.abs(np.asarray(scene.t_bop)[:, 2])
+    min_d, max_d = float(z.min() - 2), float(z.max() + 2)
+
+    def ffn(pts, dirs, mode):
+        return synthetic.analytic_field(pts, dirs, mode)
+
+    images, weights, bundle = renderer.render_grid_chunked(
+        ffn, cam, S, 96, min_d, max_d, mode="feature", threshold_mode=True, threshold=0.5,
+        chunk=S * S,
+    )
+    pos = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
+    q = synthetic.analytic_features(pos).reshape(S, S, 12)
+    sil = np.asarray(scene.sils[view])
+    hit = (np.asarray(weights.sum(-1)) > 0).reshape(S, S)
+    valid = (sil > 0.5) & hit
+    qmap = np.concatenate([np.asarray(q), (valid[..., None] * 10.0 - 5.0)], axis=-1)
+    return jnp.asarray(qmap, jnp.float32), valid
+
+
+def test_correspondence_argmax_streaming(rng):
+    q = jnp.asarray(rng.normal(size=(50, 12)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1000, 12)), jnp.float32)
+    idx, conf = similarity.correspondence_argmax(q, k, chunk=128)
+    logits = np.asarray(q) @ np.asarray(k).T
+    np.testing.assert_array_equal(np.asarray(idx), logits.argmax(-1))
+    ls = logits.max(-1) - (np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) + logits.max(-1))
+    np.testing.assert_allclose(np.asarray(conf), ls, atol=1e-4)
+
+
+def test_confidence_threshold_keeps_frac(rng):
+    conf = jnp.asarray(rng.normal(size=(1000,)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=1000) > 0.3)
+    keep = similarity.confidence_threshold(conf, valid, 0.8)
+    frac = float(keep.sum() / valid.sum())
+    assert 0.75 < frac <= 0.85
+
+
+def test_pose_recovery_per_image(setup):
+    scene, field, verts_scaled, feats, scale = setup
+    cnn = PrecomputedQueries()
+    correct = 0
+    for view in range(3):
+        qmap, valid = make_query_map(scene, view)
+        # CAD-scale GT pose: (R, t*scale); camera K in index-centered coords
+        K_inf = jnp.asarray(scene.K[view]).at[0:2, 2].add(-0.5)
+        est = inference.estimate_pose_single(
+            cnn, qmap,
+            jnp.asarray(scene.images[view]),
+            jnp.asarray(scene.sils[view]),
+            K_inf,
+            jnp.asarray(verts_scaled, jnp.float32),
+            jnp.asarray(feats, jnp.float32),
+            jax.random.PRNGKey(view),
+            down_sample=3, n_hyp=256,
+        )
+        assert bool(est.success)
+        R_gt = jnp.asarray(scene.R_bop[view])
+        t_gt = jnp.asarray(scene.t_bop[view]) * scale
+        add = float(metrics.add_metric(jnp.asarray(verts_scaled, jnp.float32), R_gt, t_gt, est.R, est.t))
+        diam_cad = scene.diameter * scale
+        if add < 0.1 * diam_cad:
+            correct += 1
+    assert correct >= 2, correct
+
+
+def test_run_sequence_shapes(setup):
+    scene, field, verts_scaled, feats, scale = setup
+    cnn = PrecomputedQueries()
+    qmap, _ = make_query_map(scene, 0)
+    Ks = np.asarray(scene.K[:1]) - np.array([[0, 0, 0.5], [0, 0, 0.5], [0, 0, 0]])[None] * np.array([1.0])
+    Rs, ts = inference.run_sequence(
+        cnn, qmap, np.asarray(scene.images[:1]), np.asarray(scene.sils[:1]), Ks,
+        verts_scaled, feats,
+    )
+    assert Rs.shape == (1, 3, 3) and ts.shape == (1, 3)
