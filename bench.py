@@ -29,6 +29,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the pipeline compiles ~15 distinct programs;
+# cold-compile dominates a first run (the driver reruns bench every round).
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 200))
 POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 50))
 N_VIEWS = int(os.environ.get("BENCH_VIEWS", 8))
