@@ -33,12 +33,14 @@ def rotvec_to_matrix(rvec: jnp.ndarray) -> jnp.ndarray:
     Uses the Taylor-safe form so it is differentiable at the identity.
     """
     theta2 = jnp.sum(rvec * rvec, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     K = hat(rvec)
     K2 = K @ K
     small = theta2 < 1e-12
+    # double-where so sqrt(0) never enters the backward pass (NaN grads)
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
     return eye + a * K + b * K2
 
