@@ -1,0 +1,381 @@
+"""Command-line interface mirroring the reference's script entry points
+(README.md:52-106):
+
+  python -m imagesequenceregistrationfor6dposeestimationlabeling_tpu.cli \\
+      train-nerf    --objid 1 --dataset ruapc --UH 1 [--cont]
+      generate-cors --objid 1 --dataset ruapc --UH 1
+      train-pose    --objid 1 --dataset ruapc --UH 1 [--cont]
+      gen-feat      --objid 1 --dataset ruapc --UH 1
+      inference     --objid 1 --dataset ruapc --UH 0 [--id N]
+      poses-est     --objid 1 --dataset ruapc --UH 0   (choosePose --posesEst)
+      rel-poses     --objid 1 --dataset ruapc --UH 0 --cal-gt/--cal-pred
+      choose-image  --objid 1 --dataset ruapc --UH 0
+      icp           --objid 1 --dataset ruapc
+      verify        --objid 1 --dataset ruapc --UH 0
+
+Stages communicate through the on-disk artifact bus (pipeline/artifacts.py)
+exactly like the reference's file conventions; ``--root`` selects the
+experiment root (default '.').  ``--synthetic`` swaps the BOP loader for
+the analytic scene so the full pipeline runs without downloaded data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _lazy():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def load_data(args, image_size):
+    jax, jnp = _lazy()
+    if args.synthetic:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+        scene = synthetic.make_scene(
+            n_views=args.synthetic_views, image_size=image_size, key=jax.random.PRNGKey(int(args.UH))
+        )
+        diam = scene.diameter
+        return (
+            np.asarray(scene.images),
+            np.asarray(scene.sils),
+            np.asarray(scene.R_bop),
+            np.asarray(scene.t_bop) * (diam / 1.8),  # loader returns mm-like units
+            np.asarray(scene.K),
+            diam,
+        )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import bop
+
+    ids = bop.half_sequence_ids(args.dataset, int(args.UH))
+    if args.fsamps:
+        ids = ids[: args.fsamps]
+    samples = bop.load_bop_samples(
+        os.path.join(args.bop_root, args.dataset), args.objid, ids, max_b=image_size, offset=5
+    )
+    diam = bop.load_diameter(os.path.join(args.bop_root, args.dataset), args.objid)
+    return samples.images, samples.sils, samples.R, samples.t, samples.K, diam
+
+
+def exp_dir(args):
+    return os.path.join(args.root, f"{args.UH}_{args.dataset}_obj_{args.objid}")
+
+
+def cmd_train_nerf(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+        FieldConfig, NerfTrainConfig, RenderConfig,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint, nerf_trainer
+
+    cfg = NerfTrainConfig()
+    images, sils, R, t, K, diam = load_data(args, cfg.image_size)
+    scale = diam / 1.8
+    t = t / scale  # trainNerfFine.py:95-101
+
+    field = fields.NerfField(FieldConfig())
+    exp = exp_dir(args)
+    nerf_d = artifacts.nerf_dir(exp, args.objid)
+    os.makedirs(nerf_d, exist_ok=True)
+
+    n_steps = args.steps or cfg.n_epochs * max(images.shape[0] // cfg.batch_size, 1)
+    state, losses = nerf_trainer.train_nerf(
+        jnp.asarray(images), jnp.asarray(sils), R, t, K, field,
+        RenderConfig(), cfg, n_steps=n_steps, log_every=args.log_every,
+    )
+    checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, int(state.step))
+    checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, int(state.step))
+    verts, tris = nerf_trainer.extract_point_cloud(field, state.params_fine, threshold=0.03)
+    artifacts.save_array(nerf_d, "v1fine.npy", verts)
+    print(f"trained {n_steps} steps; final loss {losses[-1]:.4f}; cloud {verts.shape[0]} verts -> {nerf_d}")
+
+
+def _load_field_params(args, which="nerflatestFine"):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
+
+    field = fields.NerfField(FieldConfig())
+    like = fields.init_field(field, jax.random.PRNGKey(0))
+    exp = exp_dir(args)
+    path = os.path.join(artifacts.nerf_dir(exp, args.objid), which)
+    if args.synthetic and not checkpoint.exists(path):
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+        return synthetic.AnalyticField(), None
+    params, step = checkpoint.load(path, like)
+    return field, params
+
+
+def cmd_generate_cors(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import CorsConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import generate_cors
+
+    cfg = CorsConfig(density_threshold=0.5 if args.synthetic else 0.2)
+    images, sils, R, t, K, diam = load_data(args, cfg.render_size)
+    t = t / (diam / 1.8)
+    field, params = _load_field_params(args)
+    cors = generate_cors.generate_cors(
+        field, params, R, t, K, sils, exp_dir(args), args.objid, cfg, grid_res=args.grid_res
+    )
+    print(f"correspondences -> {cors}")
+
+
+def cmd_train_pose(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import PoseTrainConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint, pose_trainer
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as fields_lib
+
+    cfg = PoseTrainConfig()
+    images, sils, R, t, K, diam = load_data(args, cfg.image_size)
+    t = t / (diam / 1.8)
+    exp = exp_dir(args)
+    cors = artifacts.cors_dir(exp, args.objid)
+    pose_d = artifacts.pose_dir(exp, args.objid)
+    os.makedirs(pose_d, exist_ok=True)
+    field, params = _load_field_params(args)
+    if params is None:
+        field_real = field  # analytic stand-in
+        import jax as _jax
+
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+
+        field = fields_lib.NerfField(FieldConfig())
+        params = fields_lib.init_field(field, _jax.random.PRNGKey(0))
+
+    # phase 1: negatives (trainPose.py:315-353 runs once then quits)
+    neg_path = os.path.join(pose_d, "negVec.npy")
+    if not os.path.exists(neg_path):
+        mverts = artifacts.load_array(cors, "a1.npy")
+        neg = pose_trainer.build_negatives(
+            field, params, R, t, K, sils, mverts, cfg, image_size=cfg.image_size,
+            threshold=0.5 if args.synthetic else 0.2,
+        )
+        np.save(neg_path, neg)
+        print(f"negVec built: {neg.shape} -> {neg_path}")
+        if args.neg_only:
+            return
+    neg = np.load(neg_path)
+
+    bank = pose_trainer.load_ray_bank(cors, cfg.image_size, images.shape[0])
+    n_steps = args.steps or int(cfg.total_query_steps * cfg.batch_size / images.shape[0])
+    state, cnn, losses = pose_trainer.train_pose(
+        field, params, jnp.asarray(images), jnp.asarray(sils), bank, neg,
+        cfg=cfg, n_steps=n_steps, log_every=args.log_every,
+    )
+    checkpoint.save(os.path.join(pose_d, "nerflatest"), state.nerf_params, int(state.step))
+    checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), state.cnn_params, int(state.step))
+    print(f"pose training done ({n_steps} steps, final loss {losses[-1]:.5f}) -> {pose_d}")
+
+
+def cmd_gen_feat(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FeatConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import gen_feat
+
+    images, sils, R, t, K, diam = load_data(args, 224)
+    t = t / (diam / 1.8)
+    field, params = _load_field_params(args)
+    verts, feats, normals = gen_feat.gen_feat(
+        field, params, R, t, K, sils, diam, exp_dir(args), args.objid,
+        FeatConfig(mc_threshold=0.5 if args.synthetic else 0.05),
+        threshold=0.5 if args.synthetic else 0.2,
+    )
+    print(f"baked {verts.shape[0]} surface features -> {exp_dir(args)}")
+
+
+def cmd_poses_est(args):
+    """choosePose.py --posesEst / finalposes.py: per-image poses of the
+    OTHER half-sequence -> pred_R.npy / pred_t.npy."""
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet, normalize_image
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, inference
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
+
+    exp = exp_dir(args)
+    pose_d = artifacts.pose_dir(exp, args.objid)
+    verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
+    feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
+    images, sils, R, t, K, diam = load_data(args, 224)
+
+    cnn = ResNetUNet()
+    ckpt = os.path.join(pose_d, "encoderRGBlatest")
+    cnn_params, _ = checkpoint.load(ckpt) if checkpoint.exists(ckpt) else (None, 0)
+    imgs_n = np.asarray(normalize_image(jnp.asarray(images)))
+    pred_R, pred_t = inference.run_sequence(cnn, cnn_params, imgs_n, sils, K, verts, feats)
+    np.save(os.path.join(exp, f"{args.objid}pred_R.npy"), pred_R)
+    np.save(os.path.join(exp, f"{args.objid}pred_t.npy"), pred_t)
+    print(f"saved {pred_R.shape[0]} poses -> {exp}")
+
+
+def cmd_rel_poses(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import registration
+
+    exp = exp_dir(args)
+    if args.cal_pred:
+        R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
+        t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
+        tag = "pred"
+    else:
+        images, sils, R, t, K, diam = load_data(args, 64)
+        tag = "gt"
+    rel_R, rel_t = registration.relative_pose_tensor(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+    n = R.shape[0]
+    T = np.zeros((n, n, 4, 4))
+    T[..., :3, :3] = np.asarray(rel_R)
+    T[..., :3, 3] = np.asarray(rel_t)
+    T[..., 3, 3] = 1
+    np.save(os.path.join(exp, f"{args.objid}{tag}_relative_poses.npy"), T)
+    print(f"saved {tag} relative poses {T.shape} -> {exp}")
+
+
+def cmd_choose_image(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.pointcloud import farthest_point_sampling
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, registration
+
+    exp = exp_dir(args)
+    gt = np.load(os.path.join(exp, f"{args.objid}gt_relative_poses.npy"))
+    pr = np.load(os.path.join(exp, f"{args.objid}pred_relative_poses.npy"))
+    verts = artifacts.load_array(artifacts.pose_dir(exp, args.objid), "vert1_scaled.npy")
+    idx = farthest_point_sampling(jnp.asarray(verts, jnp.float32), min(512, verts.shape[0]))
+    sub = jnp.asarray(verts, jnp.float32)[idx]
+    images, sils, R, t, K, diam = load_data(args, 64)
+    agree, errs = registration.agreement_matrix(
+        jnp.asarray(gt[..., :3, :3], jnp.float32), jnp.asarray(gt[..., :3, 3], jnp.float32),
+        jnp.asarray(pr[..., :3, :3], jnp.float32), jnp.asarray(pr[..., :3, 3], jnp.float32),
+        sub, diam,
+    )
+    best, top = registration.choose_best_image(np.asarray(agree), top_k=50)
+    with open(os.path.join(exp, f"{args.objid}top_50_choices.txt"), "w") as f:
+        for i in top:
+            f.write(f"{i}\n")
+    np.save(os.path.join(exp, f"{args.objid}error.npy"), np.asarray(agree).astype(np.float64))
+    print(f"best image: {best}; top-50 saved")
+
+
+def cmd_icp(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, registration
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import bop as bop_io
+
+    root = args.root
+    exp0 = os.path.join(root, f"0_{args.dataset}_obj_{args.objid}")
+    exp1 = os.path.join(root, f"1_{args.dataset}_obj_{args.objid}")
+    upper = artifacts.load_array(artifacts.pose_dir(exp1, args.objid), "vert1_scaled.npy")
+    lower = artifacts.load_array(artifacts.pose_dir(exp0, args.objid), "vert1_scaled.npy")
+    with open(os.path.join(exp0, f"{args.objid}top_50_choices.txt")) as f:
+        chosen = int(f.readline())
+    pred_R = np.load(os.path.join(exp0, f"{args.objid}pred_R.npy"))[chosen]
+    pred_t = np.load(os.path.join(exp0, f"{args.objid}pred_t.npy"))[chosen]
+    if args.synthetic:
+        args.UH = 0
+        images, sils, R, t, K, diam = load_data(args, 64)
+        gt_R, gt_t = R[chosen], t[chosen]
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+        import jax as _jax
+
+        pts, ok = synthetic.analytic_surface_points(20000, _jax.random.PRNGKey(9))
+        cad = np.asarray(pts)[np.asarray(ok)] * (diam / 1.8)
+    else:
+        ds = os.path.join(args.bop_root, args.dataset)
+        import json as _json
+
+        gt = _json.load(open(os.path.join(ds, "train", str(args.objid).zfill(6), "scene_gt.json")))
+        gt_R = np.asarray(gt[str(chosen)][0]["cam_R_m2c"]).reshape(3, 3)
+        gt_t = np.asarray(gt[str(chosen)][0]["cam_t_m2c"])
+        cad = bop_io.load_cad_points(ds, args.objid)
+        diam = bop_io.load_diameter(ds, args.objid)
+    out = registration.register_halves(
+        upper, lower, gt_R, gt_t, pred_R, pred_t, cad, diam, icp_threshold=args.icp_threshold
+    )
+    summary = {
+        k: (v.tolist() if isinstance(v, np.ndarray) else v)
+        for k, v in out.items()
+        if k != "merged"
+    }
+    print(json.dumps(summary, default=float))
+
+
+def cmd_verify(args):
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, registration
+
+    exp = exp_dir(args)
+    cloud = artifacts.load_array(artifacts.pose_dir(exp, args.objid), "vert1_scaled.npy")
+    pred_R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
+    pred_t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
+    images, sils, R, t, K, diam = load_data(args, 64)
+    n = min(len(R), len(pred_R))
+    best, chams = registration.verify_consecutive(cloud[:5000], R[:n], t[:n], pred_R[:n], pred_t[:n])
+    print(f"best image {best}, min chamfer {min(chams):.4f}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="isr6d", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--objid", default=1, type=int)
+        sp.add_argument("--dataset", default="ruapc")
+        sp.add_argument("--UH", default=0, type=int)
+        sp.add_argument("--root", default=".")
+        sp.add_argument("--bop-root", default="bop")
+        sp.add_argument("--cont", action="store_true")
+        sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--synthetic-views", default=8, type=int)
+        sp.add_argument("--fsamps", default=0, type=int)
+        sp.add_argument("--steps", default=0, type=int)
+        sp.add_argument("--log-every", default=100, type=int)
+        sp.add_argument("--grid-res", default=128, type=int)
+
+    for name, fn in [
+        ("train-nerf", cmd_train_nerf),
+        ("generate-cors", cmd_generate_cors),
+        ("train-pose", cmd_train_pose),
+        ("gen-feat", cmd_gen_feat),
+        ("poses-est", cmd_poses_est),
+        ("rel-poses", cmd_rel_poses),
+        ("choose-image", cmd_choose_image),
+        ("icp", cmd_icp),
+        ("verify", cmd_verify),
+    ]:
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.set_defaults(fn=fn)
+        if name == "train-pose":
+            sp.add_argument("--neg-only", action="store_true")
+        if name == "rel-poses":
+            sp.add_argument("--cal-gt", action="store_true")
+            sp.add_argument("--cal-pred", action="store_true")
+        if name == "icp":
+            sp.add_argument("--icp-threshold", default=20.0, type=float)
+        if name == "inference" or name == "poses-est":
+            sp.add_argument("--id", default=-1, type=int)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
