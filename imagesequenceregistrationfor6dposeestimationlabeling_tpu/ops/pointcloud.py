@@ -29,7 +29,6 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
 def nn_query(
     query: jnp.ndarray,
     ref: jnp.ndarray,
@@ -38,9 +37,23 @@ def nn_query(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest neighbor of each query in ref.  Returns (dist, idx).
 
-    Tiled over ref chunks with a running min so the (N, M) matrix never
-    materializes in HBM for large M.
+    On TPU this dispatches to the fused Pallas kernel (ops/pallas_kernels);
+    the XLA tiling below is the reference implementation / CPU path.
     """
+    if jax.default_backend() == "tpu":
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pallas_kernels
+
+        return pallas_kernels.nn_min(query, ref, ref_mask, interpret=False)
+    return _nn_query_xla(query, ref, ref_mask, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _nn_query_xla(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n_ref = ref.shape[0]
     pad = (-n_ref) % chunk
     ref_p = jnp.pad(ref, ((0, pad), (0, 0)))

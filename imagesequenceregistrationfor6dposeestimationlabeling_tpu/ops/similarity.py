@@ -17,14 +17,26 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
 def correspondence_argmax(
     queries: jnp.ndarray, keys: jnp.ndarray, chunk: int = 8192
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """queries (N, E), keys (M, E) -> (idx (N,), conf (N,)).
 
     conf is the max of log_softmax over keys: max_logit - logsumexp.
+    Dispatches to the fused Pallas kernel on TPU (~100x less HBM traffic);
+    the XLA tiling below is the reference implementation / CPU path.
     """
+    if jax.default_backend() == "tpu":
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pallas_kernels
+
+        return pallas_kernels.correspondence_argmax(queries, keys, interpret=False)
+    return _correspondence_argmax_xla(queries, keys, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _correspondence_argmax_xla(
+    queries: jnp.ndarray, keys: jnp.ndarray, chunk: int = 8192
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     N, E = queries.shape
     M = keys.shape[0]
     pad = (-M) % chunk
@@ -35,7 +47,7 @@ def correspondence_argmax(
 
     def body(i, carry):
         best, arg, m_run, s_run = carry
-        logits = queries @ keys_c[i].T  # (N, chunk) on the MXU
+        logits = jnp.matmul(queries, keys_c[i].T, precision=jax.lax.Precision.HIGHEST)
         n_valid = jnp.where(i == n_chunks - 1, valid_last, chunk)
         col = jnp.arange(chunk)
         mask = col[None, :] < n_valid
