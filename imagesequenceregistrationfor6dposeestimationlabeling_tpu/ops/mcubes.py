@@ -72,15 +72,23 @@ _CASES[6, 0] = [0, 5, 4]
 _CASES[6, 1] = [0, 1, 5]
 
 
-def marching_tetrahedra(density: np.ndarray, threshold: float):
+def marching_tetrahedra(density: np.ndarray, threshold: float, native: bool = True):
     """Extract the `density > threshold` isosurface.
 
     density: (R, R, R) with D[i, j, k] = value at integer point (i, j, k)
     (axis order x, y, z as produced by renderer.density_grid).
 
     Returns (verts (V, 3) float32 in index coordinates, tris (T, 3) int64).
+    Uses the native C++ kernel when available (native/march_tets.cpp);
+    this numpy implementation is the fallback and reference.
     """
     density = np.asarray(density)
+    if native:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.native import march_tets_native
+
+        out = march_tets_native(density, threshold)
+        if out is not None:
+            return out
     R = density.shape[0]
 
     # Global grid point ids.
