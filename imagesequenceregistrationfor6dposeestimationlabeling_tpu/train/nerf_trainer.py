@@ -79,40 +79,91 @@ def make_train_step(
     train_cfg: NerfTrainConfig,
     min_depth: float,
     max_depth: float,
+    ray_chunk: int = 4096,
 ):
+    """One jitted optimization step.
+
+    Memory discipline for large ray batches (the path to the <60 s
+    registration target is few steps x huge ray batches): rays are
+    processed in `ray_chunk` groups under ``lax.scan`` with
+    ``jax.checkpoint`` — the backward pass recomputes one chunk's
+    activations at a time, so peak HBM is O(chunk) instead of O(batch)
+    (a bs=16 x 2048-ray step would otherwise need ~49 GB of HLO temps).
+    """
+    Pc = render_cfg.n_pts_coarse
+    Pf = render_cfg.n_pts_fine
+    s = train_cfg.loss_scale
+    hs = train_cfg.huber_scaling
+
     def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
         pc, pf = params_pair
-
-        def coarse_fn(pts, dirs, mode):
-            return field.apply(pc, pts, dirs, mode)
-
-        def fine_fn(pts, dirs, mode):
-            return field.apply(pf, pts, dirs, mode)
-
-        coarse_img, fine_img, xys = renderer.render_coarse_fine(
-            coarse_fn,
-            fine_fn,
-            cam,
-            key,
-            n_rays=render_cfg.n_rays_per_image,
-            n_pts_coarse=render_cfg.n_pts_coarse,
-            n_pts_fine=render_cfg.n_pts_fine,
-            min_depth=min_depth,
-            max_depth=max_depth,
-            add_input_samples=render_cfg.add_input_samples,
+        k_rays, k_pdf = jax.random.split(key)
+        bundle = cam_lib.monte_carlo_rays(
+            cam, render_cfg.n_rays_per_image, Pc, min_depth, max_depth, k_rays
         )
-        sil_at = sample_images_at_mc_locs(sils[..., None], xys)
-        col_at = sample_images_at_mc_locs(images, xys)
-        s = train_cfg.loss_scale
-        hs = train_cfg.huber_scaling
-        sil_err = jnp.mean(raymarch.huber(coarse_img[..., -1:], sil_at, hs)) + jnp.mean(
-            raymarch.huber(fine_img[..., -1:], sil_at, hs)
+        sil_at = sample_images_at_mc_locs(sils[..., None], bundle.xys)
+        col_at = sample_images_at_mc_locs(images, bundle.xys)
+
+        # flatten rays over (batch, rays) and pad to chunk multiple
+        n = bundle.origins.shape[0] * bundle.origins.shape[1]
+        chunk = min(ray_chunk, n)
+
+        def flat(x, d):
+            x = x.reshape(n, d)
+            pad = (-n) % chunk
+            return x if pad == 0 else jnp.pad(x, ((0, pad), (0, 0)))
+
+        o = flat(bundle.origins, 3)
+        d = flat(bundle.directions, 3)
+        l = flat(bundle.lengths, Pc)
+        col = flat(col_at, 3)
+        sil = flat(sil_at, 1)
+        valid = flat(jnp.ones((n, 1)), 1)
+        n_chunks = o.shape[0] // chunk
+        keys = jax.random.split(k_pdf, n_chunks)
+
+        def chunk_body(pc, pf, o, d, l, col, sil, valid, kk):
+            pts = o[:, None, :] + d[:, None, :] * l[:, :, None]
+            dens_c, rgb_c = field.apply(pc, pts, d, "color")
+            img_c, w_c = raymarch.composite(dens_c[..., 0], rgb_c)
+            z_f = raymarch.importance_resample(
+                l, jax.lax.stop_gradient(w_c), Pf, kk, det=False,
+                add_input_samples=render_cfg.add_input_samples,
+            )
+            pts_f = o[:, None, :] + d[:, None, :] * z_f[:, :, None]
+            dens_f, rgb_f = field.apply(pf, pts_f, d, "color")
+            img_f, _ = raymarch.composite(dens_f[..., 0], rgb_f)
+
+            def err(img):
+                ce = raymarch.huber(img[..., :-1], col, hs).mean(-1)
+                se = raymarch.huber(img[..., -1:], sil, hs).mean(-1)
+                return ce, se
+
+            ce_c, se_c = err(img_c)
+            ce_f, se_f = err(img_f)
+            v = valid[:, 0]
+            return jnp.stack(
+                [((ce_c + ce_f) * v).sum(), ((se_c + se_f) * v).sum(), v.sum()]
+            )
+
+        body = jax.checkpoint(chunk_body)
+
+        def scan_fn(carry, inp):
+            o_c, d_c, l_c, col_c, sil_c, val_c, kk = inp
+            return carry + body(pc, pf, o_c, d_c, l_c, col_c, sil_c, val_c, kk), None
+
+        def group(x):
+            return x.reshape(n_chunks, chunk, -1)
+
+        sums, _ = jax.lax.scan(
+            scan_fn,
+            jnp.zeros((3,)),
+            (group(o), group(d), group(l), group(col), group(sil), group(valid), keys),
         )
-        col_err = jnp.mean(raymarch.huber(coarse_img[..., :-1], col_at, hs)) + jnp.mean(
-            raymarch.huber(fine_img[..., :-1], col_at, hs)
-        )
-        loss = s * (sil_err + col_err)
-        return loss, {"color": s * col_err, "sil": s * sil_err}
+        col_err = s * sums[0] / sums[2]
+        sil_err = s * sums[1] / sums[2]
+        loss = col_err + sil_err
+        return loss, {"color": col_err, "sil": sil_err}
 
     @jax.jit
     def train_step(state: NerfTrainState, cam: cam_lib.Camera, images, sils, key):
