@@ -328,6 +328,29 @@ def cmd_verify(args):
     print(f"best image {best}, min chamfer {min(chams):.4f}")
 
 
+def cmd_check(args):
+    """check_pose.py analog: print shapes of pipeline artifacts."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+
+    exp = exp_dir(args)
+    cors = artifacts.cors_dir(exp, args.objid)
+    pose_d = artifacts.pose_dir(exp, args.objid)
+    for d, name in [
+        (cors, "a1.npy"), (cors, "subvert1.npy"), (cors, "subnormal1.npy"),
+        (pose_d, "negVec.npy"), (pose_d, "vert1_scaled.npy"),
+        (pose_d, "feat1_scaled.npy"), (pose_d, "normals_scaled.npy"),
+    ]:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            print(f"{p}: {np.load(p).shape}")
+        else:
+            print(f"{p}: MISSING")
+    for i in range(3):
+        if artifacts.has_view_rays(cors, 224, i):
+            xys, pv, bxys, bv = artifacts.load_view_rays(cors, 224, i)
+            print(f"view {i}: posVec {pv.shape} back {bv.shape}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="isr6d", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -356,6 +379,7 @@ def build_parser():
         ("choose-image", cmd_choose_image),
         ("icp", cmd_icp),
         ("verify", cmd_verify),
+        ("check", cmd_check),
     ]:
         sp = sub.add_parser(name)
         common(sp)

@@ -143,6 +143,12 @@ def render_grid_chunked(
     return images, weights, bundle
 
 
+def render_depth(bundle: RayBundle, weights: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray depth from EA weights — the depth-map output branch of the
+    back-face renderer (prenBack.py:256-270)."""
+    return raymarch.surface_depth(bundle.lengths, weights)
+
+
 def back_ray_bundle(front_bundle: RayBundle, front_hits: jnp.ndarray, div: float = 3.0) -> RayBundle:
     """Back rays (generateCors.py:323-329): origin = front surface hit,
     direction = -normalize(camera origin), lengths = (l - l0)/div."""

@@ -225,6 +225,21 @@ augment_batch = jax.jit(
 )
 
 
+def nocs_map(xys: jnp.ndarray, pos_vec: jnp.ndarray, valid: jnp.ndarray, res: int = 224) -> jnp.ndarray:
+    """Rasterize per-ray 3D surface coordinates into a NOCS image
+    (getNerfSamples NOCS branch, augment.py:686-700): each transformed ray
+    xy writes its 3D hit into the pixel it lands on."""
+    # NDC -> pixel indices (reference flips x then rot90; equivalently our
+    # ndc->pixel for both axes)
+    px = ((1.0 - xys[:, 0]) * 0.5 * (res - 1)).astype(jnp.int32)
+    py = ((1.0 - xys[:, 1]) * 0.5 * (res - 1)).astype(jnp.int32)
+    in_b = (px >= 0) & (px < res) & (py >= 0) & (py < res) & valid
+    flat = jnp.where(in_b, py * res + px, res * res)
+    img = jnp.zeros((res * res + 1, 3))
+    img = img.at[flat].set(jnp.where(in_b[:, None], pos_vec, 0.0))
+    return img[:-1].reshape(res, res, 3)
+
+
 def select_ray_samples(key, xys, valid, sample_size: int):
     """Fixed-size sample of ray indices with |xys'| < 1 (getNerfSamples,
     augment.py:649-653/668-678).  Samples with replacement when needed."""

@@ -41,6 +41,15 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import ar
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
 
 
+def info_nce_in_batch(q: jnp.ndarray, k: jnp.ndarray, key: jax.Array, neg_frac: float = 1.0, scale: float = 1e-3):
+    """returnCrossEntropy (nutil.py:349-366): in-batch negatives — a random
+    subset of the positives' own keys serves as the negative set."""
+    n_pos = k.shape[1]
+    n_neg = int(n_pos * neg_frac)
+    neg_idx = jax.random.permutation(key, n_pos)[:n_neg]
+    return info_nce_with_neg(q, k, k[:, neg_idx], scale)
+
+
 def info_nce_with_neg(q: jnp.ndarray, k: jnp.ndarray, k_neg: jnp.ndarray, scale: float = 1e-3):
     """returnCrossEntropyWithNeg (nutil.py:368-385): per positive pair,
     cross entropy of [q.k, q @ k_neg^T] against class 0, divided by 1000.
