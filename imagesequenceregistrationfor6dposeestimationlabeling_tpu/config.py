@@ -26,6 +26,9 @@ class FieldConfig:
     siren: bool = True                      # trainNerfFine.py:40
     density_bias: float = -1.5              # nerf.py:218
     softplus_beta: float = 10.0             # nerf.py:174
+    # MXU compute dtype for the MLP matmuls (params/activations stay fp32;
+    # bf16 matmul with fp32 accumulation is ~4x faster on v5e)
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,15 +33,38 @@ import jax.numpy as jnp
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
 
 
-def harmonic_embedding(x: jnp.ndarray, n_harmonic: int = 60, omega0: float = 0.1) -> jnp.ndarray:
+def harmonic_embedding(
+    x: jnp.ndarray, n_harmonic: int = 60, omega0: float = 0.1, method: str = "direct"
+) -> jnp.ndarray:
     """(..., D) -> (..., D * n_harmonic * 2), ordering [sin(d0*f...), sin(d1*f...), ..., cos...]
 
     matching nerf.py:135-144 (x[..., None] * freqs flattened over the last
     two dims, then sin block followed by cos block).
+
+    method='recurrence' evaluates 2 transcendentals per input dim and gets
+    the octave ladder from the double-angle identities (kept for study: on
+    v5e the 59-step sequential chain is latency-bound and measured slower
+    than one fused vectorized sin over the full 360-wide tensor).
     """
-    freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
-    ang = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if method == "direct":
+        freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
+        ang = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    a = omega0 * x
+    s, c = jnp.sin(a), jnp.cos(a)
+    sins, coss = [s], [c]
+    for _ in range(n_harmonic - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        # first-order renormalization of s^2+c^2 -> 1: without it rounding
+        # drift compounds double-exponentially over the octave ladder
+        inv = 1.5 - 0.5 * (s * s + c * c)
+        s = s * inv
+        c = c * inv
+        sins.append(s)
+        coss.append(c)
+    sin_blk = jnp.stack(sins, axis=-1).reshape(*x.shape[:-1], -1)
+    cos_blk = jnp.stack(coss, axis=-1).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([sin_blk, cos_blk], axis=-1)
 
 
 def softplus_beta(x: jnp.ndarray, beta: float = 10.0) -> jnp.ndarray:
@@ -99,23 +122,26 @@ class NerfField(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.trunk1 = nn.Dense(c.n_hidden)
-        self.trunk2 = nn.Dense(c.n_hidden)
+        dt = jnp.dtype(c.compute_dtype)
+        self.trunk1 = nn.Dense(c.n_hidden, dtype=dt)
+        self.trunk2 = nn.Dense(c.n_hidden, dtype=dt)
+        # density head stays fp32: it is tiny and precision-sensitive
         self.density_layer = nn.Dense(1, bias_init=nn.initializers.constant(c.density_bias))
-        self.color1 = nn.Dense(c.n_hidden)
-        self.color2 = nn.Dense(3)
+        self.color1 = nn.Dense(c.n_hidden, dtype=dt)
+        self.color2 = nn.Dense(3, dtype=dt)
         if c.siren:
             self.feature_layer = Siren(c.n_hidden, 2, c.feature_dim)
         else:
-            self.feat1 = nn.Dense(c.n_hidden)
-            self.feat2 = nn.Dense(c.feature_dim)
+            self.feat1 = nn.Dense(c.n_hidden, dtype=dt)
+            self.feat2 = nn.Dense(c.feature_dim, dtype=dt)
 
     def embed(self, pts):
         return harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0)
 
     def trunk(self, embeds):
-        h = softplus_beta(self.trunk1(embeds), self.cfg.softplus_beta)
-        return softplus_beta(self.trunk2(h), self.cfg.softplus_beta)
+        # matmuls in bf16, nonlinearity in fp32
+        h = softplus_beta(self.trunk1(embeds).astype(jnp.float32), self.cfg.softplus_beta)
+        return softplus_beta(self.trunk2(h).astype(jnp.float32), self.cfg.softplus_beta)
 
     def density_from_trunk(self, h):
         raw = softplus_beta(self.density_layer(h), self.cfg.softplus_beta)
@@ -139,15 +165,15 @@ class NerfField(nn.Module):
             d_emb = d_emb[..., None, :]
         d_emb = jnp.broadcast_to(d_emb, h.shape[:-1] + d_emb.shape[-1:])
         x = jnp.concatenate([h, d_emb], axis=-1)
-        x = softplus_beta(self.color1(x), self.cfg.softplus_beta)
-        return jax.nn.sigmoid(self.color2(x))
+        x = softplus_beta(self.color1(x).astype(jnp.float32), self.cfg.softplus_beta)
+        return jax.nn.sigmoid(self.color2(x).astype(jnp.float32))
 
     def features(self, pts):
         """12-d descriptor keys per point (nerf.py:314-339, 404-415)."""
         if self.cfg.siren:
             return self.feature_layer(pts)
-        h = softplus_beta(self.feat1(self.embed(pts)), self.cfg.softplus_beta)
-        return jax.nn.sigmoid(self.feat2(h))
+        h = softplus_beta(self.feat1(self.embed(pts)).astype(jnp.float32), self.cfg.softplus_beta)
+        return jax.nn.sigmoid(self.feat2(h).astype(jnp.float32))
 
     def __call__(self, pts, view_dirs=None, mode: str = "color"):
         """Densities (..., 1) and per-point channels.

@@ -126,13 +126,13 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), maxval=1.0 - 1e-6)
 
-    idx = jnp.clip(
-        jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
-            cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)
-        ).reshape(u.shape),
-        1,
-        cdf.shape[-1] - 1,
+    # batched searchsorted as a comparison-sum: idx[r, s] = #cdf[r] <= u[r, s].
+    # A vmapped binary search lowers to sequential gathers on TPU (~100x
+    # slower); this is one fused VPU reduction.
+    idx = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
     )
+    idx = jnp.clip(idx, 1, cdf.shape[-1] - 1)
     below = idx - 1
     above = idx
     cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
