@@ -79,7 +79,8 @@ def cmd_train_nerf(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint, nerf_trainer
 
     cfg = NerfTrainConfig()
-    images, sils, R, t, K, diam = load_data(args, cfg.image_size)
+    S = args.image_size or cfg.image_size
+    images, sils, R, t, K, diam = load_data(args, S)
     scale = diam / 1.8
     t = t / scale  # trainNerfFine.py:95-101
 
@@ -125,6 +126,9 @@ def cmd_generate_cors(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import generate_cors
 
     cfg = CorsConfig(density_threshold=0.5 if args.synthetic else 0.2)
+    if args.image_size:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, render_size=args.image_size, grid_pts_per_ray=96)
     images, sils, R, t, K, diam = load_data(args, cfg.render_size)
     t = t / (diam / 1.8)
     field, params = _load_field_params(args)
@@ -143,6 +147,9 @@ def cmd_train_pose(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as fields_lib
 
     cfg = PoseTrainConfig()
+    if args.image_size:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, image_size=args.image_size, sample_size=128)
     images, sils, R, t, K, diam = load_data(args, cfg.image_size)
     t = t / (diam / 1.8)
     exp = exp_dir(args)
@@ -189,12 +196,16 @@ def cmd_gen_feat(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FeatConfig
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import gen_feat
 
-    images, sils, R, t, K, diam = load_data(args, 224)
+    S = args.image_size or 224
+    images, sils, R, t, K, diam = load_data(args, S)
     t = t / (diam / 1.8)
     field, params = _load_field_params(args)
     verts, feats, normals = gen_feat.gen_feat(
         field, params, R, t, K, sils, diam, exp_dir(args), args.objid,
-        FeatConfig(mc_threshold=0.5 if args.synthetic else 0.05),
+        FeatConfig(mc_threshold=0.5 if args.synthetic else 0.05,
+                   n_points=8000 if args.image_size else 80000,
+                   sample_loops=3 if args.image_size else 19),
+        image_size=S, grid_res=args.grid_res,
         threshold=0.5 if args.synthetic else 0.2,
     )
     print(f"baked {verts.shape[0]} surface features -> {exp_dir(args)}")
@@ -212,7 +223,7 @@ def cmd_poses_est(args):
     pose_d = artifacts.pose_dir(exp, args.objid)
     verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
     feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
-    images, sils, R, t, K, diam = load_data(args, 224)
+    images, sils, R, t, K, diam = load_data(args, args.image_size or 224)
 
     cnn = ResNetUNet()
     ckpt = os.path.join(pose_d, "encoderRGBlatest")
@@ -368,6 +379,8 @@ def build_parser():
         sp.add_argument("--steps", default=0, type=int)
         sp.add_argument("--log-every", default=100, type=int)
         sp.add_argument("--grid-res", default=128, type=int)
+        sp.add_argument("--image-size", default=0, type=int,
+                        help="override stage image size (smoke runs)")
 
     for name, fn in [
         ("train-nerf", cmd_train_nerf),
