@@ -139,7 +139,7 @@ def main():
         imgs, weights, bundle = renderer.render_grid_chunked(
             lambda p, d, m: synthetic.analytic_field(p, d, m),
             cam_all[i], IMG, 96, min_d, max_d, mode="feature", threshold_mode=True,
-            threshold=0.5, chunk=4096,
+            threshold=0.5, chunk=32768,
         )
         pos = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
         qmap = jnp.concatenate(

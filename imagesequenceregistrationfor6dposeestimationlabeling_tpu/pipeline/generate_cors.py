@@ -90,7 +90,7 @@ def view_surface_hits(
         mode="feature",
         threshold_mode=True,
         threshold=threshold,
-        chunk=min(4096, image_size * image_size),
+        chunk=min(32768, image_size * image_size),
     )
     pos_vec = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
     sil_flat = sil.reshape(-1) > 0.5
@@ -108,7 +108,7 @@ def view_surface_hits(
         dens = field.apply(params, pts, method=field.density)
         return dens[..., 0]
 
-    chunk = min(4096, image_size * image_size)
+    chunk = min(32768, image_size * image_size)
     n = back.origins.shape[0]
     n_chunks = n // chunk if n % chunk == 0 else n // chunk + 1
     pad = n_chunks * chunk - n

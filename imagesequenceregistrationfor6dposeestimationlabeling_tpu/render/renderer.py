@@ -110,7 +110,7 @@ def render_grid_chunked(
     mode: str = "feature",
     threshold_mode: bool = True,
     threshold: float = 0.2,
-    chunk: int = 4096,
+    chunk: int = 32768,
 ):
     """Full-image grid render (one camera), chunked over rays so the
     (S*S, P, 360) activations never exceed VMEM/HBM budgets.
@@ -158,7 +158,7 @@ def back_ray_bundle(front_bundle: RayBundle, front_hits: jnp.ndarray, div: float
     return RayBundle(origins=front_hits, directions=d, lengths=lengths, xys=front_bundle.xys)
 
 
-def density_grid(field_density_fn: Callable, grid_res: int = 128, chunk: int = 65536) -> jnp.ndarray:
+def density_grid(field_density_fn: Callable, grid_res: int = 128, chunk: int = 262144) -> jnp.ndarray:
     """Evaluate density on a grid_res^3 grid over [-1, 1]^3.
 
     Returns D with D[i, j, k] = density at (x=t[i], y=t[j], z=t[k]) so that
