@@ -49,6 +49,10 @@ class NerfTrainConfig:
     """trainNerfFine.py:55-62,214-223."""
 
     lr: float = 1e-3
+    # Linear LR warmup (reference has none; at hidden=256 a cold 1e-3 Adam
+    # step collapses the density field into the saturated-zero local
+    # minimum on our schedules — warmup prevents it, measured on v5e).
+    warmup_steps: int = 500
     batch_size: int = 3
     n_epochs: int = 500                     # n_iter, trainNerfFine.py:59
     loss_scale: float = 500.0               # trainNerfFine.py:334-335

@@ -57,8 +57,12 @@ def make_optimizer(cfg: NerfTrainConfig):
     def label_tree(params_pair):
         return tuple({"params": label_fn(p["params"])} for p in params_pair)
 
+    if cfg.warmup_steps > 0:
+        sched = optax.linear_schedule(cfg.lr * 0.02, cfg.lr, cfg.warmup_steps)
+    else:
+        sched = cfg.lr
     tx = optax.multi_transform(
-        {"train": optax.adam(cfg.lr), "freeze": optax.set_to_zero()}, label_tree
+        {"train": optax.adam(sched), "freeze": optax.set_to_zero()}, label_tree
     )
     return tx
 
