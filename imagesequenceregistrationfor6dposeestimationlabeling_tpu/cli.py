@@ -235,6 +235,54 @@ def cmd_poses_est(args):
     print(f"saved {pred_R.shape[0]} poses -> {exp}")
 
 
+def cmd_inference(args):
+    """inference.py: per-image pose + ADD(-S) accuracy counters vs GT,
+    writes <obj>correctly_predicted_list.txt (inference.py:312-374)."""
+    jax, jnp = _lazy()
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet, normalize_image
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, inference
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
+
+    exp = exp_dir(args)
+    pose_d = artifacts.pose_dir(exp, args.objid)
+    verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
+    feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
+    S = args.image_size or 224
+    images, sils, R_gt, t_gt, K, diam = load_data(args, S)
+
+    cnn = ResNetUNet()
+    ckpt = os.path.join(pose_d, "encoderRGBlatest")
+    cnn_params, _ = checkpoint.load(ckpt) if checkpoint.exists(ckpt) else (None, 0)
+    imgs_n = np.asarray(normalize_image(jnp.asarray(images)))
+    ids = range(images.shape[0]) if args.id < 0 else [args.id]
+    work_ct = rot_work_ct = tot = 0
+    correct_ids = []
+    key = jax.random.PRNGKey(1)
+    symmetric = args.dataset == "tless"
+    verts_j = jnp.asarray(verts, jnp.float32)
+    for i in ids:
+        key, sub = jax.random.split(key)
+        est = inference.estimate_pose_single(
+            cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(sils[i]),
+            jnp.asarray(K[i], jnp.float32), verts_j, jnp.asarray(feats, jnp.float32), sub,
+        )
+        m = metrics.adds_metric if symmetric else metrics.add_metric
+        err = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.asarray(t_gt[i], jnp.float32), est.R, est.t))
+        err_r = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.zeros(3), est.R, jnp.zeros(3)))
+        tot += 1
+        if err < 0.1 * diam:
+            work_ct += 1
+            correct_ids.append(i)
+        if err_r < 0.1 * diam:
+            rot_work_ct += 1
+        print(f"img {i}: ADD{'S' if symmetric else ''}={err:.3f} rotOnly={err_r:.3f} (0.1*diam={0.1*diam:.3f}) workCT={work_ct}/{tot}")
+    with open(os.path.join(exp, f"{args.objid}correctly_predicted_list.txt"), "w") as f:
+        for i in correct_ids:
+            f.write(f"{i}\n")
+    print(f"final: workCT={work_ct} rotWorkCT={rot_work_ct} total={tot}")
+
+
 def cmd_rel_poses(args):
     jax, jnp = _lazy()
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import registration
@@ -387,6 +435,7 @@ def build_parser():
         ("generate-cors", cmd_generate_cors),
         ("train-pose", cmd_train_pose),
         ("gen-feat", cmd_gen_feat),
+        ("inference", cmd_inference),
         ("poses-est", cmd_poses_est),
         ("rel-poses", cmd_rel_poses),
         ("choose-image", cmd_choose_image),
