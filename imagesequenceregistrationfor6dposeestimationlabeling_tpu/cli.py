@@ -69,6 +69,14 @@ def exp_dir(args):
     return os.path.join(args.root, f"{args.UH}_{args.dataset}_obj_{args.objid}")
 
 
+def field_config(args):
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+
+    if getattr(args, "field_preset", "full") == "small":
+        return FieldConfig(n_harmonic_functions=8, n_hidden=48)
+    return FieldConfig()
+
+
 def cmd_train_nerf(args):
     jax, jnp = _lazy()
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
@@ -84,7 +92,7 @@ def cmd_train_nerf(args):
     scale = diam / 1.8
     t = t / scale  # trainNerfFine.py:95-101
 
-    field = fields.NerfField(FieldConfig())
+    field = fields.NerfField(field_config(args))
     exp = exp_dir(args)
     nerf_d = artifacts.nerf_dir(exp, args.objid)
     os.makedirs(nerf_d, exist_ok=True)
@@ -108,7 +116,7 @@ def _load_field_params(args, which="nerflatestFine"):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
 
-    field = fields.NerfField(FieldConfig())
+    field = fields.NerfField(field_config(args))
     like = fields.init_field(field, jax.random.PRNGKey(0))
     exp = exp_dir(args)
     path = os.path.join(artifacts.nerf_dir(exp, args.objid), which)
@@ -163,7 +171,7 @@ def cmd_train_pose(args):
 
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
 
-        field = fields_lib.NerfField(FieldConfig())
+        field = fields_lib.NerfField(field_config(args))
         params = fields_lib.init_field(field, _jax.random.PRNGKey(0))
 
     # phase 1: negatives (trainPose.py:315-353 runs once then quits)
@@ -429,6 +437,8 @@ def build_parser():
         sp.add_argument("--grid-res", default=128, type=int)
         sp.add_argument("--image-size", default=0, type=int,
                         help="override stage image size (smoke runs)")
+        sp.add_argument("--field-preset", default="full", choices=["full", "small"],
+                        help="small = tiny NeRF for smoke runs")
 
     for name, fn in [
         ("train-nerf", cmd_train_nerf),
