@@ -34,7 +34,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 200))
+NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 800))
 POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 50))
 N_VIEWS = int(os.environ.get("BENCH_VIEWS", 8))
 N_INFER = int(os.environ.get("BENCH_INFER", 8))
@@ -75,30 +75,37 @@ def main():
 
     field = fields.NerfField(FieldConfig())
     render_cfg = RenderConfig()
-    cors_cfg = CorsConfig(density_threshold=0.5)
+    cors_cfg = CorsConfig(density_threshold=0.2)
 
     states = []
+    final_losses = []
     for uh, scene in enumerate(halves):
         state, losses = nerf_trainer.train_nerf(
             scene.images, scene.sils, scene.R_bop, scene.t_bop, scene.K, field,
-            render_cfg=render_cfg, train_cfg=NerfTrainConfig(),
-            n_steps=NERF_STEPS,
+            render_cfg=render_cfg,
+            train_cfg=NerfTrainConfig(warmup_steps=min(300, max(NERF_STEPS // 3, 1))),
+            n_steps=NERF_STEPS, steps_per_call=50,
         )
         states.append(state)
+        final_losses.append(round(float(np.mean(losses[-10:])), 2))
     t_nerf = time.perf_counter()
 
-    # --- correspondences + features per half (use the analytic field as the
-    # converged stand-in so downstream stages are exercised at full fidelity)
-    afield = synthetic.AnalyticField()
+    # --- correspondences per half from the TRAINED fine field
     cors_dirs = []
+    cors_rays = []
     for uh, scene in enumerate(halves):
         exp = os.path.join(out_root, f"{uh}_synth_obj_1")
         cors = generate_cors.generate_cors(
-            afield, None, scene.R_bop, scene.t_bop, scene.K, scene.sils, exp, 1,
-            cors_cfg, grid_res=128, image_size=IMG,
+            field, states[uh].params_fine, scene.R_bop, scene.t_bop, scene.K,
+            scene.sils, exp, 1, cors_cfg, grid_res=128, image_size=IMG,
         )
         cors_dirs.append(cors)
+        cors_rays.append(int(sum(
+            np.load(os.path.join(cors, f"{IMG}_posVec", f"{i}.npy")).shape[0]
+            for i in range(N_VIEWS)
+        )))
     t_cors = time.perf_counter()
+    afield = synthetic.AnalyticField()
 
     # --- descriptor training steps (half 0)
     scene0 = halves[0]
@@ -181,6 +188,8 @@ def main():
         "icp_s": round(t_end - t_inf, 2),
         "pose_correct": int(correct),
         "chamfer_ok": bool(out["correct"]),
+        "nerf_final_losses": final_losses,
+        "cors_rays": cors_rays,
     }
     print(json.dumps({
         "metric": "synthetic_e2e_registration_wallclock",

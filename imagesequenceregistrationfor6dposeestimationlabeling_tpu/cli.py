@@ -98,9 +98,17 @@ def cmd_train_nerf(args):
     os.makedirs(nerf_d, exist_ok=True)
 
     n_steps = args.steps or cfg.n_epochs * max(images.shape[0] // cfg.batch_size, 1)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, warmup_steps=min(cfg.warmup_steps, max(n_steps // 3, 1)))
+
+    def save_latest(state, step):
+        checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, step)
+        checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, step)
+
     state, losses = nerf_trainer.train_nerf(
         jnp.asarray(images), jnp.asarray(sils), R, t, K, field,
         RenderConfig(), cfg, n_steps=n_steps, log_every=args.log_every,
+        on_checkpoint=save_latest,
     )
     checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, int(state.step))
     checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, int(state.step))
@@ -133,13 +141,15 @@ def cmd_generate_cors(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import CorsConfig
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import generate_cors
 
-    cfg = CorsConfig(density_threshold=0.5 if args.synthetic else 0.2)
+    field, params = _load_field_params(args)
+    # the analytic stand-in field has a sharp 0.5-level surface; trained
+    # NeRFs use the reference's 0.2 (generateCors.py:180)
+    cfg = CorsConfig(density_threshold=0.5 if params is None else 0.2)
     if args.image_size:
         import dataclasses
         cfg = dataclasses.replace(cfg, render_size=args.image_size, grid_pts_per_ray=96)
     images, sils, R, t, K, diam = load_data(args, cfg.render_size)
     t = t / (diam / 1.8)
-    field, params = _load_field_params(args)
     cors = generate_cors.generate_cors(
         field, params, R, t, K, sils, exp_dir(args), args.objid, cfg, grid_res=args.grid_res
     )
@@ -180,7 +190,7 @@ def cmd_train_pose(args):
         mverts = artifacts.load_array(cors, "a1.npy")
         neg = pose_trainer.build_negatives(
             field, params, R, t, K, sils, mverts, cfg, image_size=cfg.image_size,
-            threshold=0.5 if args.synthetic else 0.2,
+            threshold=0.5 if params is None else 0.2,
         )
         np.save(neg_path, neg)
         print(f"negVec built: {neg.shape} -> {neg_path}")

@@ -45,6 +45,12 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
 
     grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
     verts_idx, _tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.density_threshold)
+    if verts_idx.shape[0] < 10:
+        raise RuntimeError(
+            f"surface extraction found {verts_idx.shape[0]} vertices at density "
+            f"threshold {cfg.density_threshold} — the NeRF has not converged "
+            "(train longer / check LR warmup) or the threshold is too high"
+        )
     mverts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
     mverts_j = jnp.asarray(mverts, jnp.float32)
     keep = pc.radius_outlier_mask(mverts_j, cfg.outlier_nb_points, cfg.outlier_radius)

@@ -247,6 +247,7 @@ def train_nerf(
     depth_margin: float = 2.0,
     log_every: int = 0,
     steps_per_call: int = 25,
+    on_checkpoint=None,
 ):
     """Full training loop.  Images must already be masked crops in [0, 1]
     and t_bop already divided by diam/1.8 (trainNerfFine.py:95-101).
@@ -296,6 +297,12 @@ def train_nerf(
         if log_every and (done // spc) % max(log_every // spc, 1) == 0:
             print(f"step {done + k}: loss={losses[-1]:.4f}")
         done += k
+        # periodic checkpoint hook, snapped to multi-step boundaries
+        # (the reference saves 'latest' every 100 iters, trainNerfFine.py:227)
+        if on_checkpoint is not None and (
+            done % max(train_cfg.ckpt_every, spc) < spc or done >= total
+        ):
+            on_checkpoint(state, done)
     return state, losses
 
 

@@ -87,11 +87,24 @@ def build_negatives(
     )
     hits_j = jnp.asarray(hits, jnp.float32)
     n_fps = min(cfg.n_neg, hits.shape[0])
+    if hits.shape[0] < 10:
+        raise RuntimeError(
+            f"negative-key build collected only {hits.shape[0]} surface hits — "
+            "the NeRF density is too weak at this threshold (train longer or "
+            "lower the threshold)"
+        )
     idx = pc.farthest_point_sampling(hits_j, n_fps)
     neg = np.asarray(hits_j[idx])
     neg = neg[np.abs(neg).max(-1) < cfg.neg_bound]
     d, _ = pc.nn_query(jnp.asarray(neg), jnp.asarray(mverts, jnp.float32))
-    return neg[np.asarray(d) < cfg.neg_mesh_dist]
+    neg = neg[np.asarray(d) < cfg.neg_mesh_dist]
+    if neg.shape[0] < 10:
+        raise RuntimeError(
+            f"negative-key build kept only {neg.shape[0]} points after the "
+            f"bound/mesh filters (bound {cfg.neg_bound}, mesh dist "
+            f"{cfg.neg_mesh_dist}) — surface cloud and hits disagree"
+        )
+    return neg
 
 
 class PoseTrainState(NamedTuple):
