@@ -72,6 +72,8 @@ def main():
     for uh in (0, 1):
         scene = synthetic.make_scene(n_views=N_VIEWS, image_size=IMG, key=jax.random.PRNGKey(uh))
         halves.append(scene)
+    jax.block_until_ready(halves[-1].images)
+    t_data = time.perf_counter()
 
     field = fields.NerfField(FieldConfig())
     render_cfg = RenderConfig()
@@ -181,7 +183,8 @@ def main():
 
     elapsed = t_end - t0
     phases = {
-        "nerf_s": round(t_nerf - t0, 2),
+        "data_s": round(t_data - t0, 2),
+        "nerf_s": round(t_nerf - t_data, 2),
         "cors_s": round(t_cors - t_nerf, 2),
         "pose_s": round(t_pose - t_cors, 2),
         "infer_s": round(t_inf - t_pose, 2),
