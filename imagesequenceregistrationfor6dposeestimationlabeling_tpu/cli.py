@@ -200,9 +200,14 @@ def cmd_train_pose(args):
 
     bank = pose_trainer.load_ray_bank(cors, cfg.image_size, images.shape[0])
     n_steps = args.steps or int(cfg.total_query_steps * cfg.batch_size / images.shape[0])
+    def save_latest(st, step):
+        checkpoint.save(os.path.join(pose_d, "nerflatest"), st.nerf_params, step)
+        checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), st.cnn_params, step)
+
     state, cnn, losses = pose_trainer.train_pose(
         field, params, jnp.asarray(images), jnp.asarray(sils), bank, neg,
         cfg=cfg, n_steps=n_steps, log_every=args.log_every,
+        on_checkpoint=save_latest,
     )
     checkpoint.save(os.path.join(pose_d, "nerflatest"), state.nerf_params, int(state.step))
     checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), state.cnn_params, int(state.step))

@@ -247,8 +247,11 @@ def train_pose(
     seed: int = 1,
     cnn: Optional[ResNetUNet] = None,
     log_every: int = 0,
+    on_checkpoint=None,
 ):
-    """Phase-2 training loop.  Returns (state, cnn, losses)."""
+    """Phase-2 training loop.  Returns (state, cnn, losses).
+    ``on_checkpoint(state, step)`` fires every cfg.ckpt_every steps
+    (the reference saves 'latest' every 100 iters, trainPose.py:239-242)."""
     S = images.shape[1]
     aug_cfg = aug_cfg or aug_lib.AugmentConfig(crop_res=S, min_mask_sum=10.0)
     cnn = cnn or ResNetUNet()
@@ -284,4 +287,6 @@ def train_pose(
         losses.append(float(loss))
         if log_every and step % log_every == 0:
             print(f"pose step {step}: loss={float(loss):.5f} nce={float(aux['nce']):.5f} bce={float(aux['bce']):.6f}")
+        if on_checkpoint is not None and (step + 1) % cfg.ckpt_every == 0:
+            on_checkpoint(state, step + 1)
     return state, cnn, losses
