@@ -58,8 +58,10 @@ def load_data(args, image_size):
     ids = bop.half_sequence_ids(args.dataset, int(args.UH))
     if args.fsamps:
         ids = ids[: args.fsamps]
+    split = "lm" if args.dataset == "lm" else "train"
     samples = bop.load_bop_samples(
-        os.path.join(args.bop_root, args.dataset), args.objid, ids, max_b=image_size, offset=5
+        os.path.join(args.bop_root, args.dataset), args.objid, ids,
+        max_b=image_size, offset=5, split_dir=split,
     )
     diam = bop.load_diameter(os.path.join(args.bop_root, args.dataset), args.objid)
     return samples.images, samples.sils, samples.R, samples.t, samples.K, diam
@@ -167,7 +169,10 @@ def cmd_train_pose(args):
     cfg = PoseTrainConfig()
     if args.image_size:
         import dataclasses
-        cfg = dataclasses.replace(cfg, image_size=args.image_size, sample_size=128)
+        # smoke scale: shorter-trained NeRFs have a fuzzier surface shell
+        cfg = dataclasses.replace(
+            cfg, image_size=args.image_size, sample_size=128, neg_mesh_dist=0.15
+        )
     images, sils, R, t, K, diam = load_data(args, cfg.image_size)
     t = t / (diam / 1.8)
     exp = exp_dir(args)

@@ -42,6 +42,7 @@ class AugmentConfig(NamedTuple):
     p_line_erode: float = 0.49
     p_color_jitter: float = 0.7
     p_border: float = 0.4
+    p_distractor: float = 0.0         # tless_aug distractor paste (augment.py:402-418)
     min_mask_sum: float = 200.0       # maskMax analog at our test scales
 
 
@@ -162,10 +163,39 @@ def _line_erode(key, mask, x0, y0, w, h):
     return jnp.where(side > 0, 0.0, mask)
 
 
-def augment_view(key: jax.Array, rgb: jnp.ndarray, mask: jnp.ndarray, cfg: AugmentConfig = AugmentConfig()) -> Augmented:
-    """Augment one (S, S, 3) image + (S, S) mask.  vmap over the batch."""
+def paste_distractor(key, rgb, mask, dis_rgb, dis_mask, cfg: AugmentConfig):
+    """tless_aug distractor paste (augment.py:402-418): composite another
+    object's pixels over the image with a random shift, zeroing the
+    occluded part of the mask — skipped when it would erase too much."""
+    k_shift, k_scale = jax.random.split(key)
     S = rgb.shape[0]
-    keys = jax.random.split(key, 12)
+    # shift the distractor by a random NDC offset (pure roll keeps shapes)
+    shift = jax.random.randint(k_shift, (2,), -S // 2, S // 2)
+    dr = jnp.roll(dis_rgb, (shift[0], shift[1]), axis=(0, 1))
+    dm = jnp.roll(dis_mask, (shift[0], shift[1]), axis=(0, 1))
+    remaining = jnp.sum(mask * (1 - dm))
+    ok = (jnp.sum(mask) - remaining) < jnp.sum(mask) * 0.6  # keep >40% visible
+    new_rgb = jnp.where((dm > 0.5)[..., None], dr, rgb)
+    new_mask = mask * (1.0 - (dm > 0.5))
+    rgb = jnp.where(ok, new_rgb, rgb)
+    mask = jnp.where(ok, new_mask, mask)
+    return rgb, mask
+
+
+def augment_view(
+    key: jax.Array,
+    rgb: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: AugmentConfig = AugmentConfig(),
+    distractor: tuple | None = None,
+) -> Augmented:
+    """Augment one (S, S, 3) image + (S, S) mask.  vmap over the batch.
+
+    ``distractor``: optional (rgb, mask) of another object/view to paste
+    with probability cfg.p_distractor (the reference pastes crops of other
+    T-LESS objects, augment.py:402-418)."""
+    S = rgb.shape[0]
+    keys = jax.random.split(key, 14)
     x0, y0, w, h = _mask_bbox(mask)
 
     # --- geometric params (augment.py:329-342)
@@ -210,14 +240,23 @@ def augment_view(key: jax.Array, rgb: jnp.ndarray, mask: jnp.ndarray, cfg: Augme
     jittered = jnp.clip(jnp.clip(out, 0, 1) ** gamma * gain + bias, 0.0, 1.0)
     out = jnp.where(jax.random.uniform(keys[10]) < cfg.p_color_jitter, jittered, out)
 
+    # --- distractor-object paste (augment.py:402-418)
+    mask_out = mask_crop_w
+    if distractor is not None and cfg.p_distractor > 0:
+        d_rgb, d_mask = distractor
+        pasted_rgb, pasted_mask = paste_distractor(keys[12], out, mask_crop_w, d_rgb, d_mask, cfg)
+        use = jax.random.uniform(keys[13]) < cfg.p_distractor
+        out = jnp.where(use, pasted_rgb, out)
+        mask_out = jnp.where(use, pasted_mask, mask_crop_w)
+
     # --- border blackout (augment.py:425-428): zero outside dilated mask
     dil = jax.lax.reduce_window(
-        mask_crop_w, -jnp.inf, jax.lax.max, (9, 9), (1, 1), "SAME"
+        mask_out, -jnp.inf, jax.lax.max, (9, 9), (1, 1), "SAME"
     )
     blacked = out * (dil > 0.5)[..., None]
     out = jnp.where(jax.random.uniform(keys[11]) < cfg.p_border, blacked, out)
 
-    return Augmented(normalize_image(out), mask_full_w, mask_crop_w, A, t_ndc)
+    return Augmented(normalize_image(out), mask_full_w, mask_out, A, t_ndc)
 
 
 augment_batch = jax.jit(

@@ -28,7 +28,7 @@ def test_full_cli_pipeline(tmp_path):
             "--synthetic", "--synthetic-views", "6", "--image-size", S,
             "--grid-res", "48", "--log-every", "0", "--field-preset", "small"]
     for uh in ("0", "1"):
-        cli.main(["train-nerf", *base, "--UH", uh, "--steps", "150"])
+        cli.main(["train-nerf", *base, "--UH", uh, "--steps", "400"])
         cli.main(["generate-cors", *base, "--UH", uh])
         cli.main(["train-pose", *base, "--UH", uh, "--steps", "30"])
         cli.main(["gen-feat", *base, "--UH", uh])
