@@ -76,3 +76,39 @@ def test_data_parallel_train_step():
     # updated params remain fully replicated
     for leaf in jax.tree.leaves(st2.params_fine):
         assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_chamfer_matches_replicated(rng):
+    """Point-cloud kernels under the mesh: query points sharded over the
+    'data' axis, reference cloud replicated — XLA inserts the collectives
+    (SURVEY.md §2c sharded-NN design)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
+
+    mesh = mesh_lib.make_mesh(8)
+    a = jnp.asarray(rng.normal(size=(4096, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(4096, 3)), jnp.float32)
+    ref = float(pc.chamfer_distance(a, b, chunk=1024))
+    a_s = jax.device_put(a, mesh_lib.batch_sharded(mesh))
+    b_s = jax.device_put(b, mesh_lib.replicated(mesh))
+    out = float(pc.chamfer_distance(a_s, b_s, chunk=1024))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_sharded_ransac_scoring(rng):
+    """RANSAC with correspondences sharded over the mesh still matches."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry.rotations import rotvec_to_matrix
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pnp
+
+    mesh = mesh_lib.make_mesh(8)
+    K = jnp.asarray([[300.0, 0, 112], [0, 300, 112], [0, 0, 1]])
+    R = rotvec_to_matrix(jnp.asarray([0.2, -0.1, 0.3]))
+    t = jnp.asarray([0.05, -0.08, 0.9])
+    pts = jnp.asarray(rng.uniform(-0.2, 0.2, size=(512, 3)), jnp.float32)
+    xc = pts @ R.T + t
+    p2d = xc[:, :2] * jnp.asarray([300.0, 300.0]) / xc[:, 2:3] + 112.0
+    res_r = pnp.ransac_pnp(pts, p2d, K, jax.random.PRNGKey(0), n_hyp=64)
+    pts_s = jax.device_put(pts, mesh_lib.batch_sharded(mesh))
+    p2d_s = jax.device_put(p2d, mesh_lib.batch_sharded(mesh))
+    res_s = pnp.ransac_pnp(pts_s, p2d_s, jax.device_put(K, mesh_lib.replicated(mesh)), jax.random.PRNGKey(0), n_hyp=64)
+    np.testing.assert_allclose(np.asarray(res_s.R), np.asarray(res_r.R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_s.t), np.asarray(res_r.t), atol=1e-4)
