@@ -79,6 +79,14 @@ def field_config(args):
     return FieldConfig()
 
 
+def render_config(args):
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import RenderConfig
+
+    if getattr(args, "field_preset", "full") == "small":
+        return RenderConfig(n_rays_per_image=192, n_pts_coarse=32, n_pts_fine=48)
+    return RenderConfig()
+
+
 def cmd_train_nerf(args):
     jax, jnp = _lazy()
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
@@ -109,7 +117,7 @@ def cmd_train_nerf(args):
 
     state, losses = nerf_trainer.train_nerf(
         jnp.asarray(images), jnp.asarray(sils), R, t, K, field,
-        RenderConfig(), cfg, n_steps=n_steps, log_every=args.log_every,
+        render_config(args), cfg, n_steps=n_steps, log_every=args.log_every,
         on_checkpoint=save_latest,
     )
     checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, int(state.step))
