@@ -107,6 +107,14 @@ def cmd_train_nerf(args):
     nerf_d = artifacts.nerf_dir(exp, args.objid)
     os.makedirs(nerf_d, exist_ok=True)
 
+    init_params = None
+    if args.cont and checkpoint.exists(os.path.join(nerf_d, "nerflatestFine")):
+        like = fields.init_field(field, jax.random.PRNGKey(0))
+        pc, _ = checkpoint.load(os.path.join(nerf_d, "nerflatest"), like)
+        pf, step0 = checkpoint.load(os.path.join(nerf_d, "nerflatestFine"), like)
+        init_params = (pc, pf)
+        print(f"continuing from step {step0}")
+
     n_steps = args.steps or cfg.n_epochs * max(images.shape[0] // cfg.batch_size, 1)
     import dataclasses
     cfg = dataclasses.replace(cfg, warmup_steps=min(cfg.warmup_steps, max(n_steps // 3, 1)))
@@ -118,7 +126,7 @@ def cmd_train_nerf(args):
     state, losses = nerf_trainer.train_nerf(
         jnp.asarray(images), jnp.asarray(sils), R, t, K, field,
         render_config(args), cfg, n_steps=n_steps, log_every=args.log_every,
-        on_checkpoint=save_latest,
+        on_checkpoint=save_latest, init_params=init_params,
     )
     checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, int(state.step))
     checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, int(state.step))

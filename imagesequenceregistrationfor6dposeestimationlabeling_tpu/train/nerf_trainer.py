@@ -67,10 +67,21 @@ def make_optimizer(cfg: NerfTrainConfig):
     return tx
 
 
-def init_state(field: fields.NerfField, cfg: NerfTrainConfig, key: jax.Array) -> Tuple[NerfTrainState, optax.GradientTransformation]:
+def init_state(
+    field: fields.NerfField,
+    cfg: NerfTrainConfig,
+    key: jax.Array,
+    init_params=None,
+) -> Tuple[NerfTrainState, optax.GradientTransformation]:
+    """``init_params``: optional (coarse, fine) params to resume from
+    (the reference loads nerflatestFine.pth with --cont,
+    trainNerfFine.py:165-172)."""
     k1, k2 = jax.random.split(key)
-    pc = fields.init_field(field, k1)
-    pf = fields.init_field(field, k2)
+    if init_params is not None:
+        pc, pf = init_params
+    else:
+        pc = fields.init_field(field, k1)
+        pf = fields.init_field(field, k2)
     tx = make_optimizer(cfg)
     opt_state = tx.init((pc, pf))
     return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
@@ -248,6 +259,7 @@ def train_nerf(
     log_every: int = 0,
     steps_per_call: int = 25,
     on_checkpoint=None,
+    init_params=None,
 ):
     """Full training loop.  Images must already be masked crops in [0, 1]
     and t_bop already divided by diam/1.8 (trainNerfFine.py:95-101).
@@ -262,7 +274,7 @@ def train_nerf(
     min_d, max_d = depth_bounds(t_bop, depth_margin)
 
     key = jax.random.PRNGKey(seed)
-    state, tx = init_state(field, train_cfg, key)
+    state, tx = init_state(field, train_cfg, key, init_params=init_params)
     multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d)
 
     n = images.shape[0]

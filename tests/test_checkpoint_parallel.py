@@ -112,3 +112,25 @@ def test_sharded_ransac_scoring(rng):
     res_s = pnp.ransac_pnp(pts_s, p2d_s, jax.device_put(K, mesh_lib.replicated(mesh)), jax.random.PRNGKey(0), n_hyp=64)
     np.testing.assert_allclose(np.asarray(res_s.R), np.asarray(res_r.R), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_s.t), np.asarray(res_r.t), atol=1e-4)
+
+
+def test_train_nerf_resume(tmp_path):
+    """--cont semantics: training continues from saved params
+    (trainNerfFine.py:165-172)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import RenderConfig
+
+    scene = synthetic.make_scene(n_views=4, image_size=24, n_pts_per_ray=16)
+    field = fields.NerfField(FieldConfig(n_harmonic_functions=4, n_hidden=16))
+    rcfg = RenderConfig(n_rays_per_image=32, n_pts_coarse=8, n_pts_fine=8)
+    cfg = NerfTrainConfig(batch_size=2, warmup_steps=5)
+    st1, l1 = nerf_trainer.train_nerf(
+        scene.images, scene.sils, scene.R_bop, scene.t_bop, scene.K, field,
+        rcfg, cfg, n_steps=20, depth_margin=1.5,
+    )
+    # resume from st1 params: first losses of run 2 ~ last losses of run 1
+    st2, l2 = nerf_trainer.train_nerf(
+        scene.images, scene.sils, scene.R_bop, scene.t_bop, scene.K, field,
+        rcfg, cfg, n_steps=10, depth_margin=1.5,
+        init_params=(st1.params_coarse, st1.params_fine),
+    )
+    assert np.mean(l2[:5]) < np.mean(l1[:5])  # better than cold start
