@@ -225,10 +225,22 @@ def cmd_train_pose(args):
         checkpoint.save(os.path.join(pose_d, "nerflatest"), st.nerf_params, step)
         checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), st.cnn_params, step)
 
+    init_cnn = None
+    if args.cont and checkpoint.exists(os.path.join(pose_d, "encoderRGBlatest")):
+        init_cnn, step0 = checkpoint.load(os.path.join(pose_d, "encoderRGBlatest"))
+        nerf_resume_path = os.path.join(pose_d, "nerflatest")
+        if checkpoint.exists(nerf_resume_path):
+            from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as _f
+            import jax as _j
+
+            like = _f.init_field(field, _j.random.PRNGKey(0))
+            params, _ = checkpoint.load(nerf_resume_path, like)
+        print(f"continuing descriptor training from step {step0}")
+
     state, cnn, losses = pose_trainer.train_pose(
         field, params, jnp.asarray(images), jnp.asarray(sils), bank, neg,
         cfg=cfg, n_steps=n_steps, log_every=args.log_every,
-        on_checkpoint=save_latest,
+        on_checkpoint=save_latest, init_cnn_params=init_cnn,
     )
     checkpoint.save(os.path.join(pose_d, "nerflatest"), state.nerf_params, int(state.step))
     checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), state.cnn_params, int(state.step))

@@ -248,6 +248,7 @@ def train_pose(
     cnn: Optional[ResNetUNet] = None,
     log_every: int = 0,
     on_checkpoint=None,
+    init_cnn_params=None,
 ):
     """Phase-2 training loop.  Returns (state, cnn, losses).
     ``on_checkpoint(state, step)`` fires every cfg.ckpt_every steps
@@ -257,7 +258,11 @@ def train_pose(
     cnn = cnn or ResNetUNet()
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
-    cnn_params = cnn.init(k_init, jnp.zeros((1, S, S, 3)))
+    # --cont resume: the reference reloads encoderRGBlatest + nerflatest
+    # (trainPose.py:184-191); nerf_params is already the caller's choice
+    cnn_params = init_cnn_params if init_cnn_params is not None else cnn.init(
+        k_init, jnp.zeros((1, S, S, 3))
+    )
     tx = make_pose_optimizer(cfg)
     opt_state = tx.init((nerf_params, cnn_params))
     state = PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
