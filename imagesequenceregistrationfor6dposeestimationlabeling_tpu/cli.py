@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
 
@@ -197,10 +196,9 @@ def cmd_train_pose(args):
     os.makedirs(pose_d, exist_ok=True)
     field, params = _load_field_params(args)
     if params is None:
-        field_real = field  # analytic stand-in
+        # analytic stand-in has no trainable feature head: swap in a real
+        # field so descriptor training can optimize keys
         import jax as _jax
-
-        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
 
         field = fields_lib.NerfField(field_config(args))
         params = fields_lib.init_field(field, _jax.random.PRNGKey(0))

@@ -15,8 +15,9 @@ TPU-first differences:
   one evaluation and stop_gradient the weights),
 * the camera batch is sharded over the mesh 'data' axis; gradient psum is
   inserted by XLA,
-* matmuls run on the MXU; activations stay fp32 (the harmonic features are
-  precision-sensitive), with bf16 reserved for the CNN encoder.
+* MLP matmuls run in bf16 on the MXU with fp32 nonlinearities/heads
+  (models/fields.py); rays are processed in rematerialized scan chunks and
+  many optimization steps run inside one program (make_multi_step).
 """
 
 from __future__ import annotations
