@@ -50,3 +50,30 @@ def shard_leading(tree, mesh: Mesh, axis: str = DATA_AXIS):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """The production default: a 1-D data mesh over all local devices, or
+    None when the host is single-device (sharding constraints are skipped
+    and programs compile exactly as before)."""
+    devs = jax.devices()
+    if len(devs) < min_devices:
+        return None
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def constrain(x, mesh: Optional[Mesh], spec: tuple):
+    """with_sharding_constraint under an optional mesh.
+
+    ``spec`` is a PartitionSpec tuple, e.g. ``(DATA_AXIS,)`` to shard the
+    leading axis or ``(None, DATA_AXIS)`` for the second.  With mesh=None
+    this is the identity, so single-device paths are untouched.
+    """
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    """Smallest multiple of k that is >= n (for sharding-divisible batches)."""
+    return ((n + k - 1) // k) * k

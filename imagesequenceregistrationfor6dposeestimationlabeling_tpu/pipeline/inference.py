@@ -26,8 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import InferenceConfig
-from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry.cameras import downsample_K
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry.cameras import (
+    downsample_K,
+    surfemb_crop_M,
+)
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pnp, similarity
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import grid_sample
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
 
 
 class PoseEstimate(NamedTuple):
@@ -87,6 +92,161 @@ def estimate_pose_single(
     return PoseEstimate(res.R, res.t, res.n_inliers, res.success, conf_mask)
 
 
+def surfemb_crop(
+    image: np.ndarray,           # (H, W, 3) raw full frame in [0, 1]
+    mask: np.ndarray,            # (H, W) visibility mask
+    K: np.ndarray,               # (3, 3) full-frame intrinsics
+    crop_res: int = 224,
+    pad: float = 1.2,
+):
+    """Full-frame -> SurfEmb affine crop (reference inference.py:196-233):
+    bounding rect of the visib mask, affine M with scale
+    crop_res/max(w,h)/pad centered on the box, warp the RAW frame
+    (bilinear) and mask (nearest) to crop_res^2, and camMat = Ms @ K.
+
+    This makes inference independent of the training loader's bbox crops:
+    it consumes raw rgb + mask_visib files.  Returns (crop, crop_mask,
+    camMat)."""
+    mask_np = np.asarray(mask)
+    ys, xs = np.where(mask_np > 0)
+    if len(xs) == 0:
+        raise ValueError("empty mask — nothing to crop")
+    x, y = int(xs.min()), int(ys.min())
+    w, h = int(xs.max() - x + 1), int(ys.max() - y + 1)
+    M, Ms = surfemb_crop_M(x, y, w, h, crop_res, pad)
+    camMat = Ms @ jnp.asarray(K, jnp.float32)
+
+    # warp: output pixel (u, v) samples the source at Ms^-1 (u, v, 1)
+    # (cv2.warpAffine semantics — integer coordinates are pixel centers)
+    inv = jnp.linalg.inv(Ms)
+    uu, vv = jnp.meshgrid(jnp.arange(crop_res), jnp.arange(crop_res), indexing="xy")
+    pix = jnp.stack(
+        [uu.reshape(-1), vv.reshape(-1), jnp.ones(crop_res * crop_res)], axis=-1
+    ).astype(jnp.float32)
+    src = pix @ inv.T
+    H, W = mask_np.shape[:2]
+    gx = (src[:, 0] + 0.5) * (2.0 / W) - 1.0
+    gy = (src[:, 1] + 0.5) * (2.0 / H) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)[None]
+    crop = grid_sample(
+        jnp.asarray(image, jnp.float32)[None], grid, mode="bilinear", align_corners=False
+    )[0].reshape(crop_res, crop_res, 3)
+    crop_mask = grid_sample(
+        jnp.asarray(mask_np, jnp.float32)[None, ..., None], grid,
+        mode="nearest", align_corners=False,
+    )[0].reshape(crop_res, crop_res)
+    return crop, crop_mask, camMat
+
+
+def estimate_pose_full_frame(
+    cnn,
+    cnn_params,
+    frame: np.ndarray,           # (H, W, 3) raw scene image in [0, 1]
+    mask: np.ndarray,            # (H, W) mask_visib
+    K: np.ndarray,               # (3, 3) full-frame intrinsics
+    verts: jnp.ndarray,
+    feats: jnp.ndarray,
+    key: jax.Array,
+    cfg: InferenceConfig = InferenceConfig(),
+    normalize=None,
+) -> PoseEstimate:
+    """Per-image pose from a RAW full frame: SurfEmb crop -> CNN ->
+    correspondences -> RANSAC (reference inference.py:196-294)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import (
+        normalize_image,
+    )
+
+    crop, crop_mask, camMat = surfemb_crop(frame, mask, K, cfg.crop_res, cfg.crop_pad)
+    norm = normalize if normalize is not None else normalize_image
+    return estimate_pose_single(
+        cnn, cnn_params, norm(crop), crop_mask, camMat, verts, feats, key,
+        down_sample=cfg.down_sample,
+        keep_frac=cfg.conf_keep_frac,
+        n_hyp=cfg.ransac_iters,
+        reproj_err=cfg.reproj_err_px,
+    )
+
+
+def estimate_pose_surfemb(
+    cnn,
+    cnn_params,
+    image: jnp.ndarray,          # (S, S, 3) ImageNet-normalized masked crop
+    cam_K: jnp.ndarray,          # (3, 3) crop camera matrix
+    verts: jnp.ndarray,          # (M, 3) baked surface points (CAD scale)
+    normals: jnp.ndarray,        # (M, 3) baked surface normals
+    feats: jnp.ndarray,          # (M, 12) baked keys
+    diameter: float,
+    key: jax.Array,
+    cfg: InferenceConfig = InferenceConfig(),
+    refine: bool = True,
+    refine_steps: int = 50,
+    translation_only: bool = False,
+):
+    """The reference's ``useSurfEval`` inference path (inference.py:324-366):
+    SurfEmb hypothesis sampling + z-buffer scoring (poseEstSurf.py:11-261)
+    followed by gradient pose refinement (pose_refine.py:21-104).
+
+    Returns (R, t, score) — score is the SurfEmb pose score of the best
+    hypothesis (higher = better)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import (
+        pose_est_surf,
+        pose_refine,
+    )
+
+    k_est, k_ref = jax.random.split(key)
+    feat_full = cnn.apply(cnn_params, image[None])[0]  # (S, S, 13)
+    query_img = feat_full[..., :12]
+    mask_lgts = feat_full[..., 12]
+    res = pose_est_surf.estimate_pose(
+        mask_lgts, query_img, verts, normals, feats, diameter, cam_K, k_est,
+        down_sample=cfg.down_sample,
+        max_poses=cfg.max_poses,
+        max_pose_evaluations=cfg.max_pose_evaluations,
+        alpha=cfg.alpha,
+        dist_2d_min=cfg.dist_2d_min,
+    )
+    best = int(jnp.argmax(res.pose_scores))
+    R, t = res.R[best], res.t[best]
+    score = float(res.pose_scores[best])
+    if refine:
+        R, t, _ = pose_refine.refine_pose(
+            R, t, query_img, cam_K, verts, feats, k_ref,
+            n_steps=refine_steps, translation_only=translation_only,
+        )
+    return R, t, score
+
+
+def make_batch_estimator(cnn, cfg: InferenceConfig, mesh=None):
+    """One jitted program estimating poses for a whole image batch: the
+    per-image path (CNN -> correspondence argmax -> RANSAC) vmapped over
+    the batch, optionally sharded over the mesh 'data' axis.  Replaces the
+    reference's one-image-at-a-time Python loop (inference.py:155-163,
+    finalposes.py:105-238) — on a 1280-image sequence the per-dispatch
+    relay overhead alone was minutes."""
+
+    @jax.jit
+    def batch_fn(cnn_params, images, masks, cam_Ks, verts, feats, keys):
+        d = mesh_lib.DATA_AXIS
+        images = mesh_lib.constrain(images, mesh, (d,))
+        masks = mesh_lib.constrain(masks, mesh, (d,))
+        cam_Ks = mesh_lib.constrain(cam_Ks, mesh, (d,))
+        keys = mesh_lib.constrain(keys, mesh, (d,))
+
+        def one(img, m, K, k):
+            est = estimate_pose_single(
+                cnn, cnn_params, img, m, K, verts, feats, k,
+                down_sample=cfg.down_sample,
+                keep_frac=cfg.conf_keep_frac,
+                n_hyp=cfg.ransac_iters,
+                reproj_err=cfg.reproj_err_px,
+            )
+            return est.R, est.t
+
+        return jax.vmap(one)(images, masks, cam_Ks, keys)
+
+    return batch_fn
+
+
 def run_sequence(
     cnn,
     cnn_params,
@@ -97,29 +257,43 @@ def run_sequence(
     feats,
     cfg: InferenceConfig = InferenceConfig(),
     seed: int = 1,
+    mesh="auto",
+    batch: int = 16,
 ):
     """finalposes.py / choosePose.py --posesEst: per-image poses of a whole
-    sequence -> (pred_R (N, 3, 3), pred_t (N, 3))."""
-    key = jax.random.PRNGKey(seed)
-    Rs, ts = [], []
+    sequence -> (pred_R (N, 3, 3), pred_t (N, 3)).
+
+    Images are processed `batch` at a time inside one compiled program
+    (padded to a fixed shape); with more than one device the batch shards
+    over the mesh 'data' axis."""
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
+    n_dev = mesh.devices.size if mesh is not None else 1
+    N = images.shape[0]
+    batch = mesh_lib.pad_to_multiple(max(min(batch, N), 1), n_dev)
+    pad = (-N) % batch
+
+    def padded(x):
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], pad, 0)]) if pad else x
+
+    imgs = jnp.asarray(padded(images))
+    ms = jnp.asarray(padded(masks), jnp.float32)
+    Ks = jnp.asarray(padded(cam_Ks), jnp.float32)
     verts_j = jnp.asarray(verts, jnp.float32)
     feats_j = jnp.asarray(feats, jnp.float32)
-    for i in range(images.shape[0]):
-        key, sub = jax.random.split(key)
-        est = estimate_pose_single(
-            cnn,
-            cnn_params,
-            jnp.asarray(images[i]),
-            jnp.asarray(masks[i]),
-            jnp.asarray(cam_Ks[i], jnp.float32),
-            verts_j,
-            feats_j,
-            sub,
-            down_sample=cfg.down_sample,
-            keep_frac=cfg.conf_keep_frac,
-            n_hyp=cfg.ransac_iters,
-            reproj_err=cfg.reproj_err_px,
+    if mesh is not None:
+        verts_j = mesh_lib.replicate(verts_j, mesh)
+        feats_j = mesh_lib.replicate(feats_j, mesh)
+
+    batch_fn = make_batch_estimator(cnn, cfg, mesh=mesh)
+    keys = jax.random.split(jax.random.PRNGKey(seed), imgs.shape[0])
+    Rs, ts = [], []
+    for i in range(0, imgs.shape[0], batch):
+        R, t = batch_fn(
+            cnn_params, imgs[i : i + batch], ms[i : i + batch], Ks[i : i + batch],
+            verts_j, feats_j, keys[i : i + batch],
         )
-        Rs.append(np.asarray(est.R))
-        ts.append(np.asarray(est.t))
-    return np.stack(Rs), np.stack(ts)
+        Rs.append(np.asarray(R))
+        ts.append(np.asarray(t))
+    return np.concatenate(Rs)[:N], np.concatenate(ts)[:N]

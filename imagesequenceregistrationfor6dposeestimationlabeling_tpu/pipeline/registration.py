@@ -164,6 +164,24 @@ def register_halves(
     }
 
 
+@jax.jit
+def _verify_pairs(cloud, R_gt, t_gt, R_pred):
+    """All n-1 consecutive-pair Chamfer checks in ONE program: a lax.map
+    over pairs (sequential per pair to bound HBM at O(V^2) for one pair),
+    replacing n-1 separate ~40-90 ms relay dispatches."""
+
+    def pair(args):
+        Rg_i, tg_i, Rg_j, tg_j, Rp_i, Rp_j = args
+        rel_R, _ = rotations.relative_pose_se3(Rg_i, tg_i, Rg_j, tg_j)
+        # rotation-only comparison exactly as verfication.py:83-85
+        pc_gt = (cloud @ Rp_i.T) @ rel_R
+        pc_pred = cloud @ Rp_j
+        return pc.chamfer_distance(pc_gt, pc_pred)
+
+    args = (R_gt[:-1], t_gt[:-1], R_gt[1:], t_gt[1:], R_pred[:-1], R_pred[1:])
+    return jax.lax.map(pair, args)
+
+
 def verify_consecutive(
     cloud: np.ndarray,
     R_gt: np.ndarray,
@@ -174,16 +192,13 @@ def verify_consecutive(
     """verfication.py:59-108: per consecutive image pair, Chamfer between
     the cloud rotated by the GT relative pose vs the predicted next pose.
     Returns (best index, chamfer list)."""
-    n = R_gt.shape[0]
-    cloud_j = jnp.asarray(cloud, jnp.float32)
-    out = []
-    for i in range(n - 1):
-        rel_R, rel_t = rotations.relative_pose_se3(
-            jnp.asarray(R_gt[i]), jnp.asarray(t_gt[i]), jnp.asarray(R_gt[i + 1]), jnp.asarray(t_gt[i + 1])
+    out = np.asarray(
+        _verify_pairs(
+            jnp.asarray(cloud, jnp.float32),
+            jnp.asarray(R_gt, jnp.float32),
+            jnp.asarray(t_gt, jnp.float32),
+            jnp.asarray(R_pred, jnp.float32),
         )
-        # rotation-only comparison exactly as verfication.py:83-85
-        pc_gt = (cloud_j @ jnp.asarray(R_pred[i], jnp.float32).T) @ rel_R
-        pc_pred = cloud_j @ jnp.asarray(R_pred[i + 1], jnp.float32)
-        out.append(float(pc.chamfer_distance(pc_gt, pc_pred)))
+    )
     best = int(np.argmin(out))
-    return best, out
+    return best, out.tolist()

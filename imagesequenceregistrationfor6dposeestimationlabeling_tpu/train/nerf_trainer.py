@@ -40,6 +40,7 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fiel
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import (
     sample_images_at_mc_locs,
 )
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
 
 
@@ -96,6 +97,7 @@ def make_train_step(
     min_depth: float,
     max_depth: float,
     ray_chunk: int = 4096,
+    mesh=None,
 ):
     """One jitted optimization step.
 
@@ -105,11 +107,17 @@ def make_train_step(
     ``jax.checkpoint`` — the backward pass recomputes one chunk's
     activations at a time, so peak HBM is O(chunk) instead of O(batch)
     (a bs=16 x 2048-ray step would otherwise need ~49 GB of HLO temps).
+
+    With ``mesh``, every ray chunk is sharded over the mesh 'data' axis
+    (rays are embarrassingly parallel); params stay replicated and XLA
+    inserts the gradient psum over ICI.  mesh=None compiles the exact
+    single-device program.
     """
     Pc = render_cfg.n_pts_coarse
     Pf = render_cfg.n_pts_fine
     s = train_cfg.loss_scale
     hs = train_cfg.huber_scaling
+    n_dev = mesh.devices.size if mesh is not None else 1
 
     def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
         pc, pf = params_pair
@@ -120,9 +128,11 @@ def make_train_step(
         sil_at = sample_images_at_mc_locs(sils[..., None], bundle.xys)
         col_at = sample_images_at_mc_locs(images, bundle.xys)
 
-        # flatten rays over (batch, rays) and pad to chunk multiple
+        # flatten rays over (batch, rays) and pad to chunk multiple;
+        # chunks must divide evenly over the mesh for the 'data' sharding
         n = bundle.origins.shape[0] * bundle.origins.shape[1]
-        chunk = min(ray_chunk, n)
+        chunk = min(ray_chunk, mesh_lib.pad_to_multiple(n, n_dev))
+        chunk = max(chunk - chunk % n_dev, n_dev)
 
         def flat(x, d):
             x = x.reshape(n, d)
@@ -169,7 +179,9 @@ def make_train_step(
             return carry + body(pc, pf, o_c, d_c, l_c, col_c, sil_c, val_c, kk), None
 
         def group(x):
-            return x.reshape(n_chunks, chunk, -1)
+            x = x.reshape(n_chunks, chunk, -1)
+            # shard each chunk's ray axis over the mesh (no-op without mesh)
+            return mesh_lib.constrain(x, mesh, (None, mesh_lib.DATA_AXIS))
 
         sums, _ = jax.lax.scan(
             scan_fn,
@@ -201,6 +213,7 @@ def make_multi_step(
     min_depth: float,
     max_depth: float,
     ray_chunk: int = 4096,
+    mesh=None,
 ):
     """Scan `n_inner` optimization steps inside ONE jitted program.
 
@@ -211,7 +224,7 @@ def make_multi_step(
     step gathers its camera batch by index.
     """
     step_fn_inner = make_train_step(
-        field, tx, render_cfg, train_cfg, min_depth, max_depth, ray_chunk
+        field, tx, render_cfg, train_cfg, min_depth, max_depth, ray_chunk, mesh=mesh
     )
 
     @jax.jit
@@ -261,6 +274,8 @@ def train_nerf(
     steps_per_call: int = 25,
     on_checkpoint=None,
     init_params=None,
+    resume_state: Optional[NerfTrainState] = None,
+    mesh="auto",
 ):
     """Full training loop.  Images must already be masked crops in [0, 1]
     and t_bop already divided by diam/1.8 (trainNerfFine.py:95-101).
@@ -268,15 +283,37 @@ def train_nerf(
     Batches follow the reference's shuffled-epoch order
     (trainNerfFine.py:221-223); `steps_per_call` steps run inside one
     device program (lax.scan) to amortize dispatch.
+
+    ``resume_state`` resumes EXACTLY (params + Adam moments + warmup step;
+    the reference's .pth resume is params-only, which corrupts few-step
+    warmup schedules): ``n_steps`` is the TOTAL step target, the loop runs
+    from resume_state.step to n_steps with the identical batch/RNG
+    schedule it would have used uninterrupted.
+
+    ``mesh="auto"`` shards ray chunks over all local devices when more
+    than one is present (params replicated, gradient psum over ICI);
+    pass mesh=None to force single-device or an explicit Mesh to pin one.
     Returns (state, losses list).
     """
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
     S = images.shape[1]
     cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
     min_d, max_d = depth_bounds(t_bop, depth_margin)
 
     key = jax.random.PRNGKey(seed)
-    state, tx = init_state(field, train_cfg, key, init_params=init_params)
-    multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d)
+    if resume_state is not None:
+        state, tx = resume_state, make_optimizer(train_cfg)
+    else:
+        state, tx = init_state(field, train_cfg, key, init_params=init_params)
+    multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh)
+    if mesh is not None:
+        # replicate params/opt and the view bank; chunk constraints inside
+        # the step shard the per-ray work over 'data'
+        state = mesh_lib.replicate(state, mesh)
+        cam_all = mesh_lib.replicate(cam_all, mesh)
+        images = mesh_lib.replicate(jnp.asarray(images), mesh)
+        sils = mesh_lib.replicate(jnp.asarray(sils), mesh)
 
     n = images.shape[0]
     bs = min(train_cfg.batch_size, n)
@@ -298,13 +335,16 @@ def train_nerf(
     sils = jnp.asarray(sils)
     losses = []
     spc = max(1, min(steps_per_call, total))
-    done = 0
+    done = int(np.asarray(jax.device_get(state.step)))
     while done < total:
         k = min(spc, total - done)
+        # a short tail compiles one extra (smaller) program rather than
+        # padding — padded extra steps would silently over-train past
+        # n_steps and corrupt exact resume accounting
         chunk_idx = all_idx[done : done + k]
-        if k < spc:  # pad to keep one compiled shape
-            chunk_idx = np.concatenate([chunk_idx, np.repeat(chunk_idx[-1:], spc - k, 0)])
-        key, sub = jax.random.split(key)
+        # per-call key from the step index so a resumed run replays the
+        # exact RNG stream the uninterrupted run would have used
+        sub = jax.random.fold_in(key, done)
         state, loss_vec = multi(state, cam_all, images, sils, jnp.asarray(chunk_idx), sub)
         losses.extend(np.asarray(loss_vec)[:k].tolist())
         if log_every and (done // spc) % max(log_every // spc, 1) == 0:

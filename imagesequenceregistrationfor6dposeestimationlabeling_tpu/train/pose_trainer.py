@@ -37,6 +37,7 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fiel
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import grid_sample
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, surface_sampling
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
 
@@ -139,6 +140,18 @@ def make_pose_optimizer(cfg: PoseTrainConfig):
     return tx
 
 
+def init_pose_state(field, nerf_params, cfg: PoseTrainConfig, key, image_size: int,
+                    cnn: Optional[ResNetUNet] = None, init_cnn_params=None):
+    """Fresh PoseTrainState (also the `like` tree for full-state restore)."""
+    cnn = cnn or ResNetUNet()
+    cnn_params = init_cnn_params if init_cnn_params is not None else cnn.init(
+        key, jnp.zeros((1, image_size, image_size, 3))
+    )
+    tx = make_pose_optimizer(cfg)
+    opt_state = tx.init((nerf_params, cnn_params))
+    return PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
+
+
 class RayBank(NamedTuple):
     """Fixed-shape per-view ray dumps, padded to max_rays per view."""
 
@@ -178,18 +191,41 @@ def load_ray_bank(cors_dir: str, render_size: int, n_views: int, max_rays: Optio
     )
 
 
-def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig):
-    """One jitted descriptor-training step over a batch of view indices."""
+def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None):
+    """One jitted descriptor-training step over a batch of view indices.
+
+    With ``mesh``, the view batch shards over the 'data' axis (augmentation,
+    CNN and key evals are per-view independent); both networks' params stay
+    replicated and XLA inserts the gradient psum.
+
+    With ``aug_cfg.p_distractor > 0``, each view gets another view of the
+    batch pasted as an occluding distractor (augment.py:402-418); with
+    ``bg_bank``, random bank images replace the noise background
+    (augment.py:297-314).
+    """
 
     def loss_fn(params, images, sils, pos_vec, xys, valid, neg_pts, key):
         nerf_params, cnn_params = params
+        d = mesh_lib.DATA_AXIS
+        images = mesh_lib.constrain(images, mesh, (d,))
+        sils = mesh_lib.constrain(sils, mesh, (d,))
+        pos_vec = mesh_lib.constrain(pos_vec, mesh, (d,))
+        xys = mesh_lib.constrain(xys, mesh, (d,))
+        valid = mesh_lib.constrain(valid, mesh, (d,))
         B = images.shape[0]
         k_aug, k_sel, k_noise = jax.random.split(key, 3)
 
-        # --- on-device augmentation
-        aug = jax.vmap(aug_lib.augment_view, in_axes=(0, 0, 0, None))(
-            jax.random.split(k_aug, B), images, sils, aug_cfg
-        )
+        # --- on-device augmentation; the distractor for view i is view i+1
+        # of the batch (another viewpoint acting as an occluder)
+        if aug_cfg.p_distractor > 0:
+            distractor = (jnp.roll(images, 1, axis=0), jnp.roll(sils, 1, axis=0))
+            aug = jax.vmap(
+                aug_lib.augment_view, in_axes=(0, 0, 0, None, (0, 0), None)
+            )(jax.random.split(k_aug, B), images, sils, aug_cfg, distractor, bg_bank)
+        else:
+            aug = jax.vmap(aug_lib.augment_view, in_axes=(0, 0, 0, None, None, None))(
+                jax.random.split(k_aug, B), images, sils, aug_cfg, None, bg_bank
+            )
 
         # --- transform ray xys by the same affine; fixed-size selection
         new_xys = jax.vmap(aug_lib.transform_xys)(xys, aug.A, aug.t)
@@ -234,6 +270,42 @@ def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
     return step_fn
 
 
+def make_pose_multi_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None):
+    """Scan `n_inner` descriptor steps inside ONE jitted program.
+
+    The round-1 profile showed a 91.6 ms step paying 40-90 ms of relay
+    dispatch per step; scanning K steps on-device amortizes dispatch to
+    ~0 (mirrors make_multi_step in nerf_trainer).  The view bank, ray
+    bank and negative pool stay resident in HBM; each inner step gathers
+    its view batch by index.
+    """
+    step_fn_inner = make_pose_train_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank)
+
+    @jax.jit
+    def multi_step(state: PoseTrainState, images, sils, bank: RayBank, neg_pts, idx, key):
+        """idx: (n_inner, batch) int32 view indices."""
+
+        def body(carry, batch_idx):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, loss, aux = step_fn_inner(
+                state,
+                images[batch_idx],
+                sils[batch_idx],
+                bank.pos_vec[batch_idx],
+                bank.xys[batch_idx],
+                bank.valid[batch_idx],
+                neg_pts,
+                sub,
+            )
+            return (state, key), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, key), idx)
+        return state, losses
+
+    return multi_step
+
+
 def train_pose(
     field,
     nerf_params,
@@ -249,49 +321,83 @@ def train_pose(
     log_every: int = 0,
     on_checkpoint=None,
     init_cnn_params=None,
+    resume_state: Optional[PoseTrainState] = None,
+    mesh="auto",
+    steps_per_call: int = 25,
+    bg_bank=None,
 ):
     """Phase-2 training loop.  Returns (state, cnn, losses).
     ``on_checkpoint(state, step)`` fires every cfg.ckpt_every steps
-    (the reference saves 'latest' every 100 iters, trainPose.py:239-242)."""
+    (the reference saves 'latest' every 100 iters, trainPose.py:239-242).
+
+    ``resume_state`` resumes EXACTLY (params + Adam moments + warmup
+    position); ``n_steps`` is then the TOTAL step target and the loop
+    replays the identical batch/RNG schedule from resume_state.step
+    (resume at a steps_per_call boundary for bit-exact streams).
+
+    `steps_per_call` optimization steps run inside one device program
+    (lax.scan) to amortize dispatch; ``mesh="auto"`` shards the view batch
+    over all local devices when more than one is present (requires the
+    batch size to divide the device count; otherwise falls back to
+    replicated single-device execution)."""
     S = images.shape[1]
     aug_cfg = aug_cfg or aug_lib.AugmentConfig(crop_res=S, min_mask_sum=10.0)
     cnn = cnn or ResNetUNet()
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
-    # --cont resume: the reference reloads encoderRGBlatest + nerflatest
-    # (trainPose.py:184-191); nerf_params is already the caller's choice
-    cnn_params = init_cnn_params if init_cnn_params is not None else cnn.init(
-        k_init, jnp.zeros((1, S, S, 3))
-    )
     tx = make_pose_optimizer(cfg)
-    opt_state = tx.init((nerf_params, cnn_params))
-    state = PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
-    step_fn = make_pose_train_step(field, cnn, tx, cfg, aug_cfg)
+    if resume_state is not None:
+        state = resume_state
+    else:
+        # --cont resume: the reference reloads encoderRGBlatest + nerflatest
+        # (trainPose.py:184-191); nerf_params is already the caller's choice
+        state = init_pose_state(
+            field, nerf_params, cfg, k_init, S, cnn=cnn, init_cnn_params=init_cnn_params
+        )
 
-    neg_j = jnp.asarray(neg_pts, jnp.float32)
     n = images.shape[0]
     bs = min(cfg.batch_size, n)
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
+    if mesh is not None and bs % mesh.devices.size != 0:
+        mesh = None  # batch does not divide the mesh — run replicated
+    if bg_bank is not None:
+        bg_bank = jnp.asarray(bg_bank, jnp.float32)
+        if mesh is not None:
+            bg_bank = mesh_lib.replicate(bg_bank, mesh)
+    multi = make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank)
+
+    neg_j = jnp.asarray(neg_pts, jnp.float32)
+    images = jnp.asarray(images)
+    sils = jnp.asarray(sils)
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+        images = mesh_lib.replicate(images, mesh)
+        sils = mesh_lib.replicate(sils, mesh)
+        ray_bank = mesh_lib.replicate(ray_bank, mesh)
+        neg_j = mesh_lib.replicate(neg_j, mesh)
+
     rng = np.random.default_rng(seed)
+    all_idx = np.stack([rng.permutation(n)[:bs] if n >= bs else
+                        np.resize(rng.permutation(n), bs) for _ in range(n_steps)])
     losses = []
-    for step in range(n_steps):
-        idx = rng.permutation(n)[:bs]
-        if len(idx) < bs:
-            idx = np.concatenate([idx, idx[: bs - len(idx)]])
-        idx_j = jnp.asarray(idx)
-        key, sub = jax.random.split(key)
-        state, loss, aux = step_fn(
-            state,
-            images[idx_j],
-            sils[idx_j],
-            ray_bank.pos_vec[idx_j],
-            ray_bank.xys[idx_j],
-            ray_bank.valid[idx_j],
-            neg_j,
-            sub,
-        )
-        losses.append(float(loss))
-        if log_every and step % log_every == 0:
-            print(f"pose step {step}: loss={float(loss):.5f} nce={float(aux['nce']):.5f} bce={float(aux['bce']):.6f}")
-        if on_checkpoint is not None and (step + 1) % cfg.ckpt_every == 0:
-            on_checkpoint(state, step + 1)
+    spc = max(1, min(steps_per_call, n_steps))
+    # checkpoint/log cadence must land on program boundaries
+    if on_checkpoint is not None:
+        spc = min(spc, cfg.ckpt_every)
+    done = int(np.asarray(jax.device_get(state.step)))
+    while done < n_steps:
+        k = min(spc, n_steps - done)
+        # short tails compile one extra program; padding would over-train
+        chunk_idx = all_idx[done : done + k]
+        # per-call key from the step index: a resumed run replays the
+        # exact RNG stream of the uninterrupted one
+        sub = jax.random.fold_in(key, done)
+        state, loss_vec = multi(state, images, sils, ray_bank, neg_j, jnp.asarray(chunk_idx), sub)
+        losses.extend(np.asarray(loss_vec)[:k].tolist())
+        done += k
+        if log_every and (done // spc) % max(log_every // spc, 1) == 0:
+            print(f"pose step {done}: loss={losses[-1]:.5f}")
+        if on_checkpoint is not None and (done % cfg.ckpt_every < spc or done >= n_steps):
+            on_checkpoint(state, done)
     return state, cnn, losses
