@@ -5,17 +5,26 @@ north star is "ruapc obj1 two-sequence registration < 60 s on TPU v5e-8 at
 Chamfer parity <= 0.1*diameter".  Real BOP data is not present in this
 environment (the repo ships empty placeholder zips), so this benchmark
 runs the SAME pipeline stages end-to-end on the synthetic analytic scene
-at reference per-step compute scale:
+at reference per-step compute scale — and, unlike round 1, every stage is
+the real trained system (VERDICT r1 weak #3):
 
   2x NeRF fit (bs 3 cams x 400 rays x 64+320 pts/step)  - the dominant cost
   2x surface extraction (128^3 grid + marching tetrahedra)
   2x correspondence precompute (224^2 grid renders, front+back)
-  descriptor steps (bs 16, 224^2 CNN + InfoNCE over 1024 samples x 80k neg pool)
-  per-image inference (224^2/9 pixels x 20k keys argmax + 500-hyp RANSAC)
-  ICP + Chamfer registration finale
+  descriptor training (bs 16, 224^2 CNN + InfoNCE, scanned steps)
+  batched per-image inference with the TRAINED query CNN against features
+  baked from the TRAINED feature head (one program for the whole batch)
+  Chamfer-verification best-image choice + ICP + Chamfer finale
 
 Training steps are capped (NERF_STEPS/POSE_STEPS below) — quality parity
-at full schedule is covered by tests; this measures pipeline throughput.
+at full schedule is covered by tests/EXPERIMENTS.md; this measures
+pipeline throughput.  `pose_correct` is the strict per-image ADD <
+0.1*diam count from the trained CNN (NOT oracle queries).
+
+Synthetic scene *generation* is test-data synthesis, not part of the
+pipeline the 60 s target measures (the reference loads files from disk),
+so scenes are cached under .bench_cache/ and reported as detail.data_s.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline = 60.0 / elapsed (>1 means under the 60 s target).
 """
@@ -35,23 +44,53 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 800))
-POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 50))
+POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 200))
 N_VIEWS = int(os.environ.get("BENCH_VIEWS", 8))
 N_INFER = int(os.environ.get("BENCH_INFER", 8))
 IMG = 224
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def load_scene_cached(uh: int):
+    """Synthetic scenes are deterministic in (uh, N_VIEWS, IMG) — cache them
+    on disk so bench reruns skip the ~9 min generation (VERDICT r1 weak #8)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+    os.makedirs(_CACHE, exist_ok=True)
+    path = os.path.join(_CACHE, f"scene_{uh}_{N_VIEWS}_{IMG}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return synthetic.SyntheticScene(
+            images=jnp.asarray(z["images"]), sils=jnp.asarray(z["sils"]),
+            R_bop=jnp.asarray(z["R_bop"]), t_bop=jnp.asarray(z["t_bop"]),
+            K=jnp.asarray(z["K"]), diameter=float(z["diameter"]),
+        )
+    scene = synthetic.make_scene(n_views=N_VIEWS, image_size=IMG, key=jax.random.PRNGKey(uh))
+    jax.block_until_ready(scene.images)
+    np.savez(
+        path, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
+        R_bop=np.asarray(scene.R_bop), t_bop=np.asarray(scene.t_bop),
+        K=np.asarray(scene.K), diameter=scene.diameter,
+    )
+    return scene
 
 
 def main():
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
         CorsConfig,
+        FeatConfig,
         FieldConfig,
+        InferenceConfig,
         NerfTrainConfig,
         PoseTrainConfig,
         RenderConfig,
     )
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import (
+        ResNetUNet,
+        normalize_image,
+    )
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import (
         artifacts,
@@ -67,12 +106,10 @@ def main():
     t0 = time.perf_counter()
     out_root = tempfile.mkdtemp(prefix="bench_")
 
-    # --- data: two half-sequences of the same object
-    halves = []
-    for uh in (0, 1):
-        scene = synthetic.make_scene(n_views=N_VIEWS, image_size=IMG, key=jax.random.PRNGKey(uh))
-        halves.append(scene)
-    jax.block_until_ready(halves[-1].images)
+    # --- data: two half-sequences of the same object (disk-cached)
+    halves = [load_scene_cached(uh) for uh in (0, 1)]
+    diam = halves[0].diameter
+    scale = diam / 1.8
     t_data = time.perf_counter()
 
     field = fields.NerfField(FieldConfig())
@@ -107,96 +144,89 @@ def main():
             for i in range(N_VIEWS)
         )))
     t_cors = time.perf_counter()
-    afield = synthetic.AnalyticField()
 
-    # --- descriptor training steps (half 0)
+    # --- descriptor training on half 0 (CNN queries vs feature-head keys)
     scene0 = halves[0]
     bank = pose_trainer.load_ray_bank(cors_dirs[0], IMG, N_VIEWS)
     a1 = artifacts.load_array(cors_dirs[0], "a1.npy")
     neg = a1[np.random.default_rng(0).permutation(a1.shape[0])[:80000]]
-    nerf_params = fields.init_field(field, jax.random.PRNGKey(0))
     cnn = ResNetUNet()
     pstate, cnn, plosses = pose_trainer.train_pose(
-        field, nerf_params, scene0.images, scene0.sils, bank, neg,
-        cfg=PoseTrainConfig(), n_steps=POSE_STEPS, cnn=cnn,
+        field, states[0].params_fine, scene0.images, scene0.sils, bank, neg,
+        cfg=PoseTrainConfig(warmup_steps=max(POSE_STEPS // 2, 1)),
+        n_steps=POSE_STEPS, cnn=cnn, steps_per_call=min(50, POSE_STEPS),
     )
     t_pose = time.perf_counter()
 
-    # --- baked features + inference on the other half (ideal queries)
-    pts, ok = synthetic.analytic_surface_points(20000, jax.random.PRNGKey(7))
-    pts = pts[np.asarray(ok)]
-    scale = halves[0].diameter / 1.8
-    verts_scaled = np.asarray(pts) * scale
-    feats = np.asarray(synthetic.analytic_features(pts))
+    # --- bake features from the TRAINED feature head at the trained surface
+    exp0 = os.path.join(out_root, "0_synth_obj_1")
+    verts_scaled, feats, normals = gen_feat.gen_feat(
+        field, pstate.nerf_params, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+        diam, exp0, 1,
+        FeatConfig(mc_threshold=0.05, n_points=20000, sample_loops=3),
+        image_size=IMG, threshold=0.2,
+    )
+    t_bake = time.perf_counter()
 
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
-
-    class PrecomputedQueries:
-        def apply(self, qmap, image_batch):
-            return qmap[None]
-
+    # --- batched inference with the TRAINED CNN on the other half
     scene1 = halves[1]
-    cam_all = cam_lib.camera_from_bop(scene1.R_bop, scene1.t_bop, scene1.K, IMG)
-    z = np.abs(np.asarray(scene1.t_bop)[:, 2])
-    min_d, max_d = float(z.min() - 2), float(z.max() + 2)
-    qcnn = PrecomputedQueries()
-    correct = 0
-    key = jax.random.PRNGKey(11)
-    pred_R, pred_t = [], []
-    for i in range(min(N_INFER, N_VIEWS)):
-        imgs, weights, bundle = renderer.render_grid_chunked(
-            lambda p, d, m: synthetic.analytic_field(p, d, m),
-            cam_all[i], IMG, 96, min_d, max_d, mode="feature", threshold_mode=True,
-            threshold=0.5, chunk=32768,
-        )
-        pos = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
-        qmap = jnp.concatenate(
-            [synthetic.analytic_features(pos).reshape(IMG, IMG, 12),
-             (scene1.sils[i][..., None] * 10.0 - 5.0)], axis=-1)
-        key, sub = jax.random.split(key)
-        K_inf = jnp.asarray(scene1.K[i]).at[0:2, 2].add(-0.5)
-        est = inference.estimate_pose_single(
-            qcnn, qmap, scene1.images[i], scene1.sils[i], K_inf,
-            jnp.asarray(verts_scaled, jnp.float32), jnp.asarray(feats, jnp.float32), sub,
-        )
-        pred_R.append(np.asarray(est.R)); pred_t.append(np.asarray(est.t))
-        add = float(metrics.add_metric(
-            jnp.asarray(verts_scaled, jnp.float32),
-            jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale, est.R, est.t))
-        correct += add < 0.1 * halves[0].diameter * scale
+    n_inf = min(N_INFER, N_VIEWS)
+    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:n_inf])))
+    Ks_fixed = np.asarray(scene1.K[:n_inf]).astype(np.float32)
+    Ks_fixed[:, 0:2, 2] -= 0.5  # pixel-center convention (inference.py:254-263)
+    pred_R, pred_t = inference.run_sequence(
+        cnn, pstate.cnn_params, imgs_n, np.asarray(scene1.sils[:n_inf]), Ks_fixed,
+        verts_scaled, feats, cfg=InferenceConfig(), batch=n_inf,
+    )
+    verts_j = jnp.asarray(verts_scaled, jnp.float32)
+    adds = [
+        float(metrics.add_metric(
+            verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
+            jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
+        for i in range(n_inf)
+    ]
+    correct = int(sum(a < 0.1 * diam * scale for a in adds))
     t_inf = time.perf_counter()
 
-    # --- registration finale: ICP the two half clouds + Chamfer
-    chosen = 0
-    cad = verts_scaled
-    upper = verts_scaled[verts_scaled[:, 2] > -0.1 * scale][:8000]
-    lower = verts_scaled[verts_scaled[:, 2] < 0.1 * scale][:8000]
+    # --- registration finale: Chamfer-verification best image + ICP + Chamfer
+    sub_cloud = verts_scaled[:: max(verts_scaled.shape[0] // 4000, 1)]
+    best, _ = registration.verify_consecutive(
+        sub_cloud, np.asarray(scene1.R_bop[:n_inf]), np.asarray(scene1.t_bop[:n_inf]) * scale,
+        pred_R, pred_t,
+    )
+    cad_pts, ok = synthetic.analytic_surface_points(20000, jax.random.PRNGKey(9))
+    cad = np.asarray(cad_pts)[np.asarray(ok)] * scale
+    upper = verts_scaled[:20000]
+    lower = cad[cad[:, 2] < 2]
     out = registration.register_halves(
         upper, lower,
-        np.asarray(scene1.R_bop[chosen]), np.asarray(scene1.t_bop[chosen]) * scale,
-        pred_R[chosen], pred_t[chosen],
-        cad, diameter=halves[0].diameter * scale,
+        np.asarray(scene1.R_bop[best]), np.asarray(scene1.t_bop[best]) * scale,
+        pred_R[best], pred_t[best],
+        cad, diameter=diam * scale,
         icp_threshold=0.2 * scale, icp_iters=20,
     )
     t_end = time.perf_counter()
 
-    # Headline = pipeline wall-clock (NeRF -> ... -> ICP).  Synthetic scene
-    # *generation* is test-data synthesis, not part of the registration
-    # pipeline the 60 s target measures (the reference loads images from
-    # disk), so it is reported separately in detail.data_s.
+    # Headline = pipeline wall-clock (NeRF -> ... -> ICP); scene synthesis is
+    # excluded (the reference loads images from disk) and reported in data_s.
     elapsed = t_end - t_data
     phases = {
         "data_s": round(t_data - t0, 2),
         "nerf_s": round(t_nerf - t_data, 2),
         "cors_s": round(t_cors - t_nerf, 2),
         "pose_s": round(t_pose - t_cors, 2),
-        "infer_s": round(t_inf - t_pose, 2),
+        "bake_s": round(t_bake - t_pose, 2),
+        "infer_s": round(t_inf - t_bake, 2),
         "icp_s": round(t_end - t_inf, 2),
-        "pose_correct": int(correct),
+        "pose_correct": correct,
+        "median_add": round(float(np.median(adds)), 4),
+        "add_thresh": round(0.1 * diam * scale, 4),
+        "chamfer": round(out["chamfer"], 4),
         "chamfer_ok": bool(out["correct"]),
         "nerf_final_losses": final_losses,
+        "pose_final_loss": round(float(np.mean(plosses[-10:])), 5),
         "cors_rays": cors_rays,
+        "n_keys": int(verts_scaled.shape[0]),
     }
     print(json.dumps({
         "metric": "synthetic_e2e_registration_wallclock",
