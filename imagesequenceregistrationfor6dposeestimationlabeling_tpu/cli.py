@@ -106,31 +106,75 @@ def cmd_train_nerf(args):
     nerf_d = artifacts.nerf_dir(exp, args.objid)
     os.makedirs(nerf_d, exist_ok=True)
 
-    init_params = None
-    if args.cont and checkpoint.exists(os.path.join(nerf_d, "nerflatestFine")):
-        like = fields.init_field(field, jax.random.PRNGKey(0))
-        pc, _ = checkpoint.load(os.path.join(nerf_d, "nerflatest"), like)
-        pf, step0 = checkpoint.load(os.path.join(nerf_d, "nerflatestFine"), like)
-        init_params = (pc, pf)
-        print(f"continuing from step {step0}")
-
     n_steps = args.steps or cfg.n_epochs * max(images.shape[0] // cfg.batch_size, 1)
     import dataclasses
     cfg = dataclasses.replace(cfg, warmup_steps=min(cfg.warmup_steps, max(n_steps // 3, 1)))
 
+    state_path = os.path.join(nerf_d, "trainstate")
+    init_params = None
+    resume_state = None
+    if args.cont and checkpoint.exists(state_path):
+        # full-state resume: params + Adam moments + step (exact)
+        like, _ = nerf_trainer.init_state(field, cfg, jax.random.PRNGKey(0))
+        resume_state = checkpoint.load_state(state_path, like)
+        print(f"continuing exactly from step {int(resume_state.step)}")
+    elif args.cont and checkpoint.exists(os.path.join(nerf_d, "nerflatestFine")):
+        # params-only fallback (reference .pth semantics)
+        like = fields.init_field(field, jax.random.PRNGKey(0))
+        pc, _ = checkpoint.load(os.path.join(nerf_d, "nerflatest"), like)
+        pf, step0 = checkpoint.load(os.path.join(nerf_d, "nerflatestFine"), like)
+        init_params = (pc, pf)
+        print(f"continuing (params only) from step {step0}")
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.utils import viz
+
+    cam0 = cam_lib.camera_from_bop(jnp.asarray(R[:1]), jnp.asarray(t[:1]), jnp.asarray(K[:1]), S)[0]
+    min_d, max_d = nerf_trainer.depth_bounds(t)
+    milestone = {"done": False}
+
     def save_latest(state, step):
         checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, step)
         checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, step)
+        checkpoint.save_state(state_path, state)
+        # milestone snapshot at iter 50000 (trainNerfFine.py:349-351)
+        if step >= 50000 and not milestone["done"]:
+            checkpoint.save(os.path.join(nerf_d, "nerf50000Fine"), state.params_fine, step)
+            milestone["done"] = True
+        # render previews every checkpoint (trainNerfFine.py:365-427)
+        if args.viz_every and step % args.viz_every < cfg.ckpt_every:
+            rgb, sil = viz.render_preview(
+                field, state.params_fine, cam0, S, 64, min_d, max_d, mode="color"
+            )
+            viz.save_image(os.path.join(nerf_d, "previews", f"{step}_rgb.png"), rgb)
+            viz.save_image(os.path.join(nerf_d, "previews", f"{step}_sil.png"), sil)
+        # point-cloud dumps every pc_every (trainNerfFine.py:357-362);
+        # the final cloud is extracted after training either way
+        if step % cfg.pc_every < cfg.ckpt_every and step >= cfg.pc_every:
+            try:
+                v, _ = nerf_trainer.extract_point_cloud(
+                    field, state.params_fine, threshold=0.03, grid_res=args.grid_res
+                )
+                artifacts.save_array(nerf_d, "v1fine.npy", v)
+                vc, _ = nerf_trainer.extract_point_cloud(
+                    field, state.params_coarse, threshold=0.03, grid_res=args.grid_res
+                )
+                artifacts.save_array(nerf_d, "v1.npy", vc)
+            except Exception as e:  # early in training there may be no surface
+                print(f"pc dump skipped at {step}: {e}")
 
     state, losses = nerf_trainer.train_nerf(
         jnp.asarray(images), jnp.asarray(sils), R, t, K, field,
         render_config(args), cfg, n_steps=n_steps, log_every=args.log_every,
-        on_checkpoint=save_latest, init_params=init_params,
+        on_checkpoint=save_latest, init_params=init_params, resume_state=resume_state,
     )
     checkpoint.save(os.path.join(nerf_d, "nerflatest"), state.params_coarse, int(state.step))
     checkpoint.save(os.path.join(nerf_d, "nerflatestFine"), state.params_fine, int(state.step))
+    checkpoint.save_state(state_path, state)
     verts, tris = nerf_trainer.extract_point_cloud(field, state.params_fine, threshold=0.03)
     artifacts.save_array(nerf_d, "v1fine.npy", verts)
+    vc, _ = nerf_trainer.extract_point_cloud(field, state.params_coarse, threshold=0.03)
+    artifacts.save_array(nerf_d, "v1.npy", vc)
     print(f"trained {n_steps} steps; final loss {losses[-1]:.4f}; cloud {verts.shape[0]} verts -> {nerf_d}")
 
 
@@ -219,12 +263,51 @@ def cmd_train_pose(args):
 
     bank = pose_trainer.load_ray_bank(cors, cfg.image_size, images.shape[0])
     n_steps = args.steps or int(cfg.total_query_steps * cfg.batch_size / images.shape[0])
+    state_path = os.path.join(pose_d, "trainstate")
+
+    # few.npy: the image-id subset this run trains on (trainPose.py:177)
+    if args.synthetic:
+        few = np.arange(images.shape[0])
+    else:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import bop as _bop
+
+        few = np.asarray(_bop.half_sequence_ids(args.dataset, int(args.UH)))
+        if args.fsamps:
+            few = few[: args.fsamps]
+    np.save(os.path.join(exp, f"{args.objid}few.npy"), few)
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import normalize_image as _norm
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.utils import viz
+
+    cnn_for_viz = ResNetUNet()
+    img0_n = np.asarray(_norm(jnp.asarray(images[:1])))
+
     def save_latest(st, step):
         checkpoint.save(os.path.join(pose_d, "nerflatest"), st.nerf_params, step)
         checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), st.cnn_params, step)
+        checkpoint.save_state(state_path, st)
+        # query-embedding + mask-logit previews (trainPose.py:458-501)
+        if args.viz_every and step % args.viz_every < cfg.ckpt_every:
+            feat = np.asarray(cnn_for_viz.apply(st.cnn_params, jnp.asarray(img0_n)))[0]
+            viz.save_image(
+                os.path.join(pose_d, "previews", f"{step}_emb.png"),
+                viz.emb_vis(feat[..., :12], sils[0]),
+            )
+            viz.save_image(
+                os.path.join(pose_d, "previews", f"{step}_mask.png"),
+                1.0 / (1.0 + np.exp(-feat[..., 12])),
+            )
 
     init_cnn = None
-    if args.cont and checkpoint.exists(os.path.join(pose_d, "encoderRGBlatest")):
+    resume_state = None
+    if args.cont and checkpoint.exists(state_path):
+        # full-state resume: both nets' params + Adam moments + warmup step
+        like_state = pose_trainer.init_pose_state(
+            field, params, cfg, jax.random.PRNGKey(0), cfg.image_size
+        )
+        resume_state = checkpoint.load_state(state_path, like_state)
+        print(f"continuing descriptor training exactly from step {int(resume_state.step)}")
+    elif args.cont and checkpoint.exists(os.path.join(pose_d, "encoderRGBlatest")):
         init_cnn, step0 = checkpoint.load(os.path.join(pose_d, "encoderRGBlatest"))
         nerf_resume_path = os.path.join(pose_d, "nerflatest")
         if checkpoint.exists(nerf_resume_path):
@@ -233,12 +316,29 @@ def cmd_train_pose(args):
 
             like = _f.init_field(field, _j.random.PRNGKey(0))
             params, _ = checkpoint.load(nerf_resume_path, like)
-        print(f"continuing descriptor training from step {step0}")
+        print(f"continuing descriptor training (params only) from step {step0}")
+
+    # content augmentation: distractor pastes + image-file backgrounds
+    # (reference augment.py:297-314, 402-418)
+    aug_cfg = None
+    if args.distractors:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
+
+        aug_cfg = aug_lib.AugmentConfig(
+            crop_res=cfg.image_size, min_mask_sum=10.0, p_distractor=0.3
+        )
+    bg_bank = None
+    if args.bg_dir:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
+
+        bg_bank = aug_lib.load_background_bank(args.bg_dir, cfg.image_size)
+        print(f"background bank: {bg_bank.shape[0]} images from {args.bg_dir}")
 
     state, cnn, losses = pose_trainer.train_pose(
         field, params, jnp.asarray(images), jnp.asarray(sils), bank, neg,
         cfg=cfg, n_steps=n_steps, log_every=args.log_every,
-        on_checkpoint=save_latest, init_cnn_params=init_cnn,
+        on_checkpoint=save_latest, init_cnn_params=init_cnn, resume_state=resume_state,
+        aug_cfg=aug_cfg, bg_bank=bg_bank,
     )
     checkpoint.save(os.path.join(pose_d, "nerflatest"), state.nerf_params, int(state.step))
     checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), state.cnn_params, int(state.step))
@@ -283,7 +383,23 @@ def cmd_poses_est(args):
     ckpt = os.path.join(pose_d, "encoderRGBlatest")
     cnn_params, _ = checkpoint.load(ckpt) if checkpoint.exists(ckpt) else (None, 0)
     imgs_n = np.asarray(normalize_image(jnp.asarray(images)))
-    pred_R, pred_t = inference.run_sequence(cnn, cnn_params, imgs_n, sils, K, verts, feats)
+    if args.use_surf_eval:
+        # useSurfEval path: SurfEmb hypothesis scoring + refinement
+        # (reference inference.py:324-366)
+        normals = artifacts.load_array(pose_d, "normals_scaled.npy")
+        key = jax.random.PRNGKey(1)
+        Rs, ts = [], []
+        for i in range(imgs_n.shape[0]):
+            key, sub = jax.random.split(key)
+            R_i, t_i, _ = inference.estimate_pose_surfemb(
+                cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(K[i], jnp.float32),
+                jnp.asarray(verts, jnp.float32), jnp.asarray(normals, jnp.float32),
+                jnp.asarray(feats, jnp.float32), diam, sub,
+            )
+            Rs.append(np.asarray(R_i)); ts.append(np.asarray(t_i))
+        pred_R, pred_t = np.stack(Rs), np.stack(ts)
+    else:
+        pred_R, pred_t = inference.run_sequence(cnn, cnn_params, imgs_n, sils, K, verts, feats)
     np.save(os.path.join(exp, f"{args.objid}pred_R.npy"), pred_R)
     np.save(os.path.join(exp, f"{args.objid}pred_t.npy"), pred_t)
     print(f"saved {pred_R.shape[0]} poses -> {exp}")
@@ -308,6 +424,45 @@ def cmd_inference(args):
     cnn = ResNetUNet()
     ckpt = os.path.join(pose_d, "encoderRGBlatest")
     cnn_params, _ = checkpoint.load(ckpt) if checkpoint.exists(ckpt) else (None, 0)
+
+    if args.full_frames and not args.synthetic:
+        # raw-frame path: SurfEmb affine crop + camMat = Ms @ K
+        # (reference inference.py:196-233)
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import InferenceConfig
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import bop as bop_io
+
+        frame_ids = bop_io.half_sequence_ids(args.dataset, int(args.UH))
+        if args.fsamps:
+            frame_ids = frame_ids[: args.fsamps]
+        if args.id >= 0:
+            frame_ids = [args.id]
+        ds = os.path.join(args.bop_root, args.dataset)
+        full = bop_io.load_bop_full_frames(ds, args.objid, frame_ids)
+        diam = bop_io.load_diameter(ds, args.objid)
+        key = jax.random.PRNGKey(1)
+        work_ct = tot = 0
+        correct_ids = []
+        verts_j = jnp.asarray(verts, jnp.float32)
+        m = metrics.adds_metric if args.dataset == "tless" else metrics.add_metric
+        for a, i in enumerate(full.ids):
+            key, sub = jax.random.split(key)
+            est = inference.estimate_pose_full_frame(
+                cnn, cnn_params, full.frames[a], full.masks[a], full.K[a],
+                verts_j, jnp.asarray(feats, jnp.float32), sub, cfg=InferenceConfig(),
+            )
+            err = float(m(verts_j, jnp.asarray(full.R[a], jnp.float32),
+                          jnp.asarray(full.t[a], jnp.float32), est.R, est.t))
+            tot += 1
+            if err < 0.1 * diam:
+                work_ct += 1
+                correct_ids.append(int(i))
+            print(f"img {int(i)}: ADD={err:.3f} (0.1*diam={0.1*diam:.3f}) workCT={work_ct}/{tot}")
+        with open(os.path.join(exp, f"{args.objid}correctly_predicted_list.txt"), "w") as f:
+            for i in correct_ids:
+                f.write(f"{i}\n")
+        print(f"final: workCT={work_ct} total={tot}")
+        return
+
     imgs_n = np.asarray(normalize_image(jnp.asarray(images)))
     ids = range(images.shape[0]) if args.id < 0 else [args.id]
     work_ct = rot_work_ct = tot = 0
@@ -315,12 +470,22 @@ def cmd_inference(args):
     key = jax.random.PRNGKey(1)
     symmetric = args.dataset == "tless"
     verts_j = jnp.asarray(verts, jnp.float32)
+    if args.use_surf_eval:
+        normals = artifacts.load_array(pose_d, "normals_scaled.npy")
     for i in ids:
         key, sub = jax.random.split(key)
-        est = inference.estimate_pose_single(
-            cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(sils[i]),
-            jnp.asarray(K[i], jnp.float32), verts_j, jnp.asarray(feats, jnp.float32), sub,
-        )
+        if args.use_surf_eval:
+            R_i, t_i, _ = inference.estimate_pose_surfemb(
+                cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(K[i], jnp.float32),
+                verts_j, jnp.asarray(normals, jnp.float32),
+                jnp.asarray(feats, jnp.float32), diam, sub,
+            )
+            est = inference.PoseEstimate(R_i, t_i, jnp.zeros(()), jnp.ones((), bool), jnp.zeros(()))
+        else:
+            est = inference.estimate_pose_single(
+                cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(sils[i]),
+                jnp.asarray(K[i], jnp.float32), verts_j, jnp.asarray(feats, jnp.float32), sub,
+            )
         m = metrics.adds_metric if symmetric else metrics.add_metric
         err = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.asarray(t_gt[i], jnp.float32), est.R, est.t))
         err_r = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.zeros(3), est.R, jnp.zeros(3)))
@@ -441,6 +606,48 @@ def cmd_verify(args):
     print(f"best image {best}, min chamfer {min(chams):.4f}")
 
 
+def cmd_video(args):
+    """Rotating-NeRF video (nutil.py:463-496): render a camera ring around
+    the trained fine field and save frames + an animated GIF."""
+    jax, jnp = _lazy()
+    from PIL import Image
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.utils import viz
+
+    field, params = _load_field_params(args)
+    exp = exp_dir(args)
+    nerf_d = artifacts.nerf_dir(exp, args.objid)
+    S = args.image_size or 128
+    Rs, ts = viz.rotating_views(n_frames=args.frames, dist=4.0)
+    K = np.asarray([[2.1 * S, 0.0, S / 2], [0.0, 2.1 * S, S / 2], [0.0, 0.0, 1.0]])
+    out_dir = os.path.join(nerf_d, "video")
+    os.makedirs(out_dir, exist_ok=True)
+    frames = []
+    for i in range(args.frames):
+        cam = cam_lib.camera_from_bop(
+            jnp.asarray(Rs[i : i + 1]), jnp.asarray(ts[i : i + 1]), jnp.asarray(K)[None], S
+        )[0]
+        if params is None:
+            from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+            from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import renderer
+
+            images, weights, _ = renderer.render_grid_chunked(
+                lambda p, d, m: synthetic.analytic_field(p, d, m), cam, S, 64,
+                2.0, 6.0, mode="color", chunk=S * S,
+            )
+            rgb = np.asarray(images[:, :3].reshape(S, S, 3))
+        else:
+            rgb, sil = viz.render_preview(field, params, cam, S, 64, 2.0, 6.0, mode="color")
+        viz.save_image(os.path.join(out_dir, f"{i:03d}.png"), rgb)
+        frames.append(Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)))
+    gif = os.path.join(nerf_d, "rotating.gif")
+    frames[0].save(gif, save_all=True, append_images=frames[1:], duration=100, loop=0)
+    print(f"{args.frames} frames -> {out_dir}; gif -> {gif}")
+
+
 def cmd_check(args):
     """check_pose.py analog: print shapes of pipeline artifacts."""
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
@@ -485,6 +692,9 @@ def build_parser():
                         help="override stage image size (smoke runs)")
         sp.add_argument("--field-preset", default="full", choices=["full", "small"],
                         help="small = tiny NeRF for smoke runs")
+        sp.add_argument("--viz-every", default=100, type=int,
+                        help="training preview-image cadence (0 = off; "
+                             "reference dumps every 100, trainNerfFine.py:365)")
 
     for name, fn in [
         ("train-nerf", cmd_train_nerf),
@@ -498,12 +708,17 @@ def build_parser():
         ("icp", cmd_icp),
         ("verify", cmd_verify),
         ("check", cmd_check),
+        ("video", cmd_video),
     ]:
         sp = sub.add_parser(name)
         common(sp)
         sp.set_defaults(fn=fn)
         if name == "train-pose":
             sp.add_argument("--neg-only", action="store_true")
+            sp.add_argument("--distractors", action="store_true",
+                            help="paste other-view distractors, p=0.3 (augment.py:402-418)")
+            sp.add_argument("--bg-dir", default="",
+                            help="directory of background images (COCO stand-in, augment.py:297-314)")
         if name == "rel-poses":
             sp.add_argument("--cal-gt", action="store_true")
             sp.add_argument("--cal-pred", action="store_true")
@@ -511,6 +726,16 @@ def build_parser():
             sp.add_argument("--icp-threshold", default=20.0, type=float)
         if name == "inference" or name == "poses-est":
             sp.add_argument("--id", default=-1, type=int)
+            sp.add_argument("--use-surf-eval", action="store_true",
+                            help="SurfEmb hypothesis scoring + refinement instead of "
+                                 "argmax-PnP (reference useSurfEval, inference.py:324-366)")
+        if name == "video":
+            sp.add_argument("--frames", default=36, type=int,
+                            help="number of rotating views (nutil.py:463-496)")
+        if name == "inference":
+            sp.add_argument("--full-frames", action="store_true",
+                            help="consume raw rgb/mask_visib frames via the SurfEmb "
+                                 "affine crop, camMat = Ms @ K (inference.py:196-233)")
     return p
 
 

@@ -127,6 +127,48 @@ def load_bop_samples(
     return BopSamples(images, sils, R, t, K, np.asarray(list(few_ids)))
 
 
+class BopFullFrames(NamedTuple):
+    frames: list              # N x (H, W, 3) float32 raw frames in [0, 1]
+    masks: list               # N x (H, W) float32 visib masks in {0, 1}
+    R: np.ndarray             # (N, 3, 3)
+    t: np.ndarray             # (N, 3)
+    K: np.ndarray             # (N, 3, 3) UNMODIFIED full-frame intrinsics
+    ids: np.ndarray
+
+
+def load_bop_full_frames(
+    dataset_path: str,
+    objid,
+    few_ids: Sequence[int],
+    mask_str: str = "mask_visib",
+    split_dir: str = "train",
+) -> BopFullFrames:
+    """Raw scene frames for full-image SurfEmb-crop inference (reference
+    inference.py:196-214 reads rgb + mask_visib and crops with an affine M
+    instead of the training loader's bbox crop)."""
+    obj_dir = os.path.join(dataset_path, split_dir, str(objid).zfill(6))
+    cam_params = json.load(open(os.path.join(obj_dir, "scene_camera.json")))
+    scene_gt = json.load(open(os.path.join(obj_dir, "scene_gt.json")))
+
+    frames, masks, Rs, ts, Ks, ids = [], [], [], [], [], []
+    for im_id in few_ids:
+        im_id = int(im_id)
+        rgb = np.asarray(Image.open(os.path.join(obj_dir, "rgb", f"{im_id:06d}.png")).convert("RGB"))
+        mask = np.asarray(Image.open(os.path.join(obj_dir, mask_str, f"{im_id:06d}_000000.png")))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        frames.append(rgb.astype(np.float32) / 255.0)
+        masks.append((mask > 0).astype(np.float32))
+        det = scene_gt[str(im_id)][0]
+        Rs.append(np.asarray(det["cam_R_m2c"]).reshape(3, 3))
+        ts.append(np.asarray(det["cam_t_m2c"]))
+        Ks.append(np.asarray(cam_params[str(im_id)]["cam_K"]).reshape(3, 3))
+        ids.append(im_id)
+    return BopFullFrames(
+        frames, masks, np.stack(Rs), np.stack(ts), np.stack(Ks), np.asarray(ids)
+    )
+
+
 def load_diameter(dataset_path: str, objid) -> float:
     info = json.load(open(os.path.join(dataset_path, "models", "models_info.json")))
     return float(info[str(objid)]["diameter"])

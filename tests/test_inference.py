@@ -104,6 +104,61 @@ def test_pose_recovery_per_image(setup):
     assert correct >= 2, correct
 
 
+def test_full_frame_surfemb_crop_inference(setup):
+    """Full-image inference path (reference inference.py:196-233): embed the
+    view into a larger raw frame, SurfEmb-crop it with camMat = Ms @ K, and
+    recover the pose from the crop."""
+    scene, field, verts_scaled, feats, scale = setup
+    view = 0
+    H, W, ox, oy = 128, 160, 40, 20
+    frame = np.zeros((H, W, 3), np.float32)
+    frame[oy : oy + S, ox : ox + S] = np.asarray(scene.images[view])
+    mask = np.zeros((H, W), np.float32)
+    mask[oy : oy + S, ox : ox + S] = np.asarray(scene.sils[view])
+    # translating the image by (ox, oy) shifts the principal point the same
+    K_frame = np.asarray(scene.K[view]).copy()
+    K_frame[0, 2] += ox
+    K_frame[1, 2] += oy
+
+    crop, crop_mask, camMat = inference.surfemb_crop(frame, mask, K_frame, crop_res=S, pad=1.2)
+
+    # geometric check: rendering the object with camMat as intrinsics must
+    # reproduce the crop's silhouette (this is THE parity risk of Ms @ K)
+    cam2 = cam_lib.camera_from_bop(
+        jnp.asarray(scene.R_bop[view]), jnp.asarray(scene.t_bop[view]), camMat, S
+    )
+    z = np.abs(np.asarray(scene.t_bop)[:, 2])
+    images2, weights2, bundle2 = renderer.render_grid_chunked(
+        lambda p, d, m: synthetic.analytic_field(p, d, m),
+        cam2, S, 96, float(z.min() - 2), float(z.max() + 2),
+        mode="feature", threshold_mode=True, threshold=0.5, chunk=S * S,
+    )
+    sil_render = (np.asarray(weights2.sum(-1)) > 0).reshape(S, S)
+    inter = (sil_render & (np.asarray(crop_mask) > 0.5)).sum()
+    union = (sil_render | (np.asarray(crop_mask) > 0.5)).sum()
+    assert inter / union > 0.8, inter / union
+
+    # pose recovery from the crop with ideal queries rendered at camMat
+    pos = raymarch.surface_points(bundle2.origins, bundle2.directions, bundle2.lengths, weights2)
+    q = np.asarray(synthetic.analytic_features(pos)).reshape(S, S, 12)
+    qmap = jnp.asarray(
+        np.concatenate([q, (sil_render[..., None] * 10.0 - 5.0)], axis=-1), jnp.float32
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import InferenceConfig
+
+    est = inference.estimate_pose_full_frame(
+        PrecomputedQueries(), qmap, frame, mask, K_frame,
+        jnp.asarray(verts_scaled, jnp.float32), jnp.asarray(feats, jnp.float32),
+        jax.random.PRNGKey(0),
+        cfg=InferenceConfig(crop_res=S, ransac_iters=256),
+        normalize=lambda x: x,
+    )
+    R_gt = jnp.asarray(scene.R_bop[view])
+    t_gt = jnp.asarray(scene.t_bop[view]) * scale
+    add = float(metrics.add_metric(jnp.asarray(verts_scaled, jnp.float32), R_gt, t_gt, est.R, est.t))
+    assert add < 0.15 * scene.diameter * scale, add
+
+
 def test_run_sequence_shapes(setup):
     scene, field, verts_scaled, feats, scale = setup
     cnn = PrecomputedQueries()

@@ -62,6 +62,48 @@ def test_surfemb_finds_pose(setup):
     assert add < 0.2 * scene.diameter * scale, add
 
 
+@pytest.mark.slow
+def test_surfemb_inference_path_beats_or_ties_pnp(setup):
+    """The wired useSurfEval path (pipeline.inference.estimate_pose_surfemb
+    -> scorer -> refiner) must beat or tie the default argmax-PnP path on
+    the same inputs (reference inference.py:324-366)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import InferenceConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import inference
+
+    scene, verts, feats, normals, qmap, mask_lgts, scale = setup
+
+    class IdealCNN:
+        def apply(self, params, image_batch):
+            return jnp.concatenate([qmap, mask_lgts[..., None]], axis=-1)[None]
+
+    K_inf = jnp.asarray(scene.K[0]).at[0:2, 2].add(-0.5)
+    verts_j = jnp.asarray(verts, jnp.float32)
+    feats_j = jnp.asarray(feats, jnp.float32)
+    R_gt = jnp.asarray(scene.R_bop[0])
+    t_gt = jnp.asarray(scene.t_bop[0]) * scale
+
+    # reference-scale hypothesis budget (poseEstSurf.py:13-15) — at smaller
+    # budgets the sampled 4-tuples are too sparse for scoring to rank well
+    cfg = InferenceConfig()
+    R_s, t_s, score = inference.estimate_pose_surfemb(
+        IdealCNN(), None, jnp.asarray(scene.images[0]), K_inf,
+        verts_j, jnp.asarray(normals, jnp.float32), feats_j,
+        float(scene.diameter * scale), jax.random.PRNGKey(0), cfg=cfg,
+    )
+    add_surf = float(metrics.add_metric(verts_j, R_gt, t_gt, R_s, t_s))
+
+    est = inference.estimate_pose_single(
+        IdealCNN(), None, jnp.asarray(scene.images[0]), jnp.asarray(scene.sils[0]),
+        K_inf, verts_j, feats_j, jax.random.PRNGKey(0),
+    )
+    add_pnp = float(metrics.add_metric(verts_j, R_gt, t_gt, est.R, est.t))
+
+    assert np.isfinite(score)
+    assert add_surf < 0.15 * scene.diameter * scale, (add_surf, add_pnp)
+    # beats or ties PnP (10% slack for RNG)
+    assert add_surf <= add_pnp * 1.1, (add_surf, add_pnp)
+
+
 def test_scores_separate_good_from_bad(setup):
     scene, verts, feats, normals, qmap, mask_lgts, scale = setup
     K_inf = jnp.asarray(scene.K[0]).at[0:2, 2].add(-0.5)
