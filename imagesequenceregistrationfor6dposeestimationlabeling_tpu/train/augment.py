@@ -188,12 +188,17 @@ def augment_view(
     mask: jnp.ndarray,
     cfg: AugmentConfig = AugmentConfig(),
     distractor: tuple | None = None,
+    bg_bank: jnp.ndarray | None = None,
 ) -> Augmented:
     """Augment one (S, S, 3) image + (S, S) mask.  vmap over the batch.
 
     ``distractor``: optional (rgb, mask) of another object/view to paste
     with probability cfg.p_distractor (the reference pastes crops of other
-    T-LESS objects, augment.py:402-418)."""
+    T-LESS objects, augment.py:402-418).
+
+    ``bg_bank``: optional (N, S, S, 3) bank of background images — a random
+    one replaces the smooth-noise background (the reference composites COCO
+    images, augment.py:297-314; any image folder works as a stand-in)."""
     S = rgb.shape[0]
     keys = jax.random.split(key, 14)
     x0, y0, w, h = _mask_bbox(mask)
@@ -227,7 +232,10 @@ def augment_view(
     mask_crop_w = warp_affine_ndc(occluded, A, t_ndc, nearest=True)
 
     # --- background composite (augment.py:297-314, 370-374)
-    bg = _smooth_noise(keys[7], S)
+    if bg_bank is not None:
+        bg = bg_bank[jax.random.randint(keys[7], (), 0, bg_bank.shape[0])]
+    else:
+        bg = _smooth_noise(keys[7], S)
     use_bg = jax.random.uniform(keys[8]) < cfg.p_background
     bg = jnp.where(use_bg, bg, jnp.zeros_like(bg))
     out = jnp.where(mask_crop_w[..., None] > 0.5, rgb_w, bg)
@@ -262,6 +270,32 @@ def augment_view(
 augment_batch = jax.jit(
     jax.vmap(augment_view, in_axes=(0, 0, 0, None)), static_argnames=()
 )
+
+
+def load_background_bank(dir_path: str, size: int, max_images: int = 256):
+    """Load an image folder as an (N, size, size, 3) float32 background bank
+    (the COCO stand-in for augment.py:297-314 — any image directory works)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    files = sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.lower().endswith(exts)
+    )[:max_images]
+    if not files:
+        raise ValueError(f"no images found in background dir {dir_path}")
+    bank = np.stack([
+        np.asarray(
+            Image.open(f).convert("RGB").resize((size, size), Image.BICUBIC),
+            np.float32,
+        ) / 255.0
+        for f in files
+    ])
+    return bank
 
 
 def nocs_map(xys: jnp.ndarray, pos_vec: jnp.ndarray, valid: jnp.ndarray, res: int = 224) -> jnp.ndarray:

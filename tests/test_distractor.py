@@ -35,3 +35,64 @@ def test_distractor_none_is_noop():
     cfg = augment.AugmentConfig(p_distractor=1.0, min_mask_sum=10.0)
     out = augment.augment_view(jax.random.PRNGKey(1), scene.images[0], scene.sils[0], cfg)
     assert out.rgb.shape == (48, 48, 3)
+
+
+def test_background_bank_composites_bank_image():
+    """With bg_bank + p_background=1, outside-mask pixels come from the
+    bank image, not smooth noise (COCO-paste parity, augment.py:297-314)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import normalize_image
+
+    scene = synthetic.make_scene(n_views=1, image_size=48)
+    # constant-color bank so bank pixels are recognizable post-normalization
+    bank = jnp.full((3, 48, 48, 3), 0.25)
+    cfg = augment.AugmentConfig(
+        p_background=1.0, p_occlude=0.0, p_line_erode=0.0, p_color_jitter=0.0,
+        p_border=0.0, min_mask_sum=10.0,
+    )
+    out = augment.augment_view(
+        jax.random.PRNGKey(0), scene.images[0], scene.sils[0], cfg, bg_bank=bank
+    )
+    expected = np.asarray(normalize_image(jnp.full((1, 1, 3), 0.25)))[0, 0]
+    bg_px = np.asarray(out.rgb)[np.asarray(out.mask_crop) < 0.5]
+    assert bg_px.shape[0] > 100
+    np.testing.assert_allclose(bg_px, np.broadcast_to(expected, bg_px.shape), atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_train_pose_with_distractors_and_bank():
+    """The content-augmentation knobs run through the public trainer."""
+    import jax.numpy as jnp
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+        FieldConfig, PoseTrainConfig,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import pose_trainer
+
+    size, n_views = 32, 4
+    scene = synthetic.make_scene(n_views=n_views, image_size=size, n_pts_per_ray=16)
+    rng = np.random.default_rng(0)
+    bank = pose_trainer.RayBank(
+        pos_vec=jnp.asarray(rng.normal(size=(n_views, 32, 3)) * 0.3, jnp.float32),
+        xys=jnp.asarray(rng.uniform(-0.8, 0.8, size=(n_views, 32, 2)), jnp.float32),
+        back_vec=jnp.zeros((n_views, 1, 3)),
+        back_xys=jnp.zeros((n_views, 1, 2)),
+        valid=jnp.ones((n_views, 32), bool),
+        back_valid=jnp.ones((n_views, 1), bool),
+    )
+    neg = rng.normal(size=(64, 3)).astype(np.float32) * 0.3
+    field = fields.NerfField(FieldConfig(n_harmonic_functions=4, n_hidden=16))
+    nerf_params = fields.init_field(field, jax.random.PRNGKey(0))
+    cnn = ResNetUNet(widths=(8, 16, 16, 16), stage_sizes=(1, 1, 1, 1))
+    aug_cfg = augment.AugmentConfig(crop_res=size, min_mask_sum=10.0, p_distractor=0.5)
+    bg_bank = rng.uniform(size=(4, size, size, 3)).astype(np.float32)
+    _, _, losses = pose_trainer.train_pose(
+        field, nerf_params, scene.images, scene.sils, bank, neg,
+        cfg=PoseTrainConfig(batch_size=4, sample_size=16, warmup_steps=2),
+        aug_cfg=aug_cfg, n_steps=2, cnn=cnn, bg_bank=bg_bank, mesh=None,
+    )
+    assert np.isfinite(losses).all()
