@@ -36,6 +36,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step2 == 43
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step():
     """Batch sharded over the 8-device CPU mesh; params stay replicated and
     match the single-device result (gradient psum is exact)."""
@@ -114,6 +115,7 @@ def test_sharded_ransac_scoring(rng):
     np.testing.assert_allclose(np.asarray(res_s.t), np.asarray(res_r.t), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_nerf_resume(tmp_path):
     """--cont semantics: training continues from saved params
     (trainNerfFine.py:165-172)."""

@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# trains NeRF + descriptors for real: ~4.5 min on CPU
+pytestmark = pytest.mark.slow
+
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
     CorsConfig,
     FieldConfig,

@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-field training at quality scale: ~2 min of CPU per fixture build
+pytestmark = pytest.mark.slow
+
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
     FieldConfig,
     NerfTrainConfig,

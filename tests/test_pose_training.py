@@ -70,6 +70,7 @@ def test_ray_bank_loading(cors_setup):
     assert np.abs(np.asarray(bank.pos_vec[0])[v]).max() > 0
 
 
+@pytest.mark.slow
 def test_pose_training_loss_decreases(cors_setup):
     scene, cors = cors_setup
     bank = pose_trainer.load_ray_bank(cors, S, 6)
