@@ -1,0 +1,171 @@
+"""Descriptor quality at (near) reference scale (VERDICT r1 weak #4 / #8).
+
+Round-1 ablations showed query quality is view-count-limited (12 -> 32
+views: 5x inliers).  The reference regime is 1280 views / 80k negatives /
+60k steps (trainPose.py:214,338).  This experiment runs the largest
+synthetic slice that fits a background TPU session: DS_VIEWS (256)
+training views, 80k negatives, DS_POSE_STEPS (10000) descriptor steps,
+then measures per-image ADD of the trained CNN on DS_INFER (16) images of
+the OTHER half against the 0.1*diam bar (inference.py:312-320).
+
+Run on TPU:  python experiments/descriptor_scale.py
+Env: DS_VIEWS, DS_POSE_STEPS, DS_NERF_STEPS, DS_INFER, DS_IMG.
+Scenes cache under .bench_cache (same key scheme as bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+N_VIEWS = int(os.environ.get("DS_VIEWS", 256))
+IMG = int(os.environ.get("DS_IMG", 224))
+NERF_STEPS = int(os.environ.get("DS_NERF_STEPS", 2500))
+POSE_STEPS = int(os.environ.get("DS_POSE_STEPS", 10000))
+N_INFER = int(os.environ.get("DS_INFER", 16))
+_CACHE = os.path.join(_REPO, ".bench_cache")
+
+
+def load_scene_cached(uh: int, n_views: int):
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+    os.makedirs(_CACHE, exist_ok=True)
+    path = os.path.join(_CACHE, f"scene_{uh}_{n_views}_{IMG}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return synthetic.SyntheticScene(
+            images=jnp.asarray(z["images"]), sils=jnp.asarray(z["sils"]),
+            R_bop=jnp.asarray(z["R_bop"]), t_bop=jnp.asarray(z["t_bop"]),
+            K=jnp.asarray(z["K"]), diameter=float(z["diameter"]),
+        )
+    scene = synthetic.make_scene(n_views=n_views, image_size=IMG, key=jax.random.PRNGKey(uh))
+    jax.block_until_ready(scene.images)
+    np.savez(
+        path, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
+        R_bop=np.asarray(scene.R_bop), t_bop=np.asarray(scene.t_bop),
+        K=np.asarray(scene.K), diameter=scene.diameter,
+    )
+    return scene
+
+
+def main():
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+        CorsConfig, FeatConfig, FieldConfig, InferenceConfig, NerfTrainConfig,
+        PoseTrainConfig, RenderConfig,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import (
+        ResNetUNet, normalize_image,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import (
+        artifacts, gen_feat, generate_cors, inference,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import (
+        augment as aug_lib, nerf_trainer, pose_trainer,
+    )
+
+    import tempfile
+
+    out_root = tempfile.mkdtemp(prefix="dscale_")
+    timings = {}
+    t0 = time.perf_counter()
+
+    scene0 = load_scene_cached(0, N_VIEWS)
+    scene1 = load_scene_cached(1, max(N_INFER, 16))
+    diam = scene0.diameter
+    scale = diam / 1.8
+    timings["data"] = round(time.perf_counter() - t0, 1)
+    print(f"scenes ready ({timings['data']} s)", flush=True)
+
+    field = fields.NerfField(FieldConfig())
+
+    t = time.perf_counter()
+    state, losses = nerf_trainer.train_nerf(
+        scene0.images, scene0.sils, scene0.R_bop, scene0.t_bop, scene0.K, field,
+        render_cfg=RenderConfig(), train_cfg=NerfTrainConfig(),
+        n_steps=NERF_STEPS, steps_per_call=50,
+    )
+    timings["nerf"] = round(time.perf_counter() - t, 1)
+    print(f"nerf: loss {np.mean(losses[:20]):.2f} -> {np.mean(losses[-20:]):.2f} "
+          f"({timings['nerf']} s)", flush=True)
+
+    t = time.perf_counter()
+    exp0 = os.path.join(out_root, "0_synth_obj_1")
+    cors = generate_cors.generate_cors(
+        field, state.params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+        exp0, 1, CorsConfig(density_threshold=0.2), grid_res=128, image_size=IMG,
+    )
+    timings["cors"] = round(time.perf_counter() - t, 1)
+    print(f"cors done ({timings['cors']} s)", flush=True)
+
+    t = time.perf_counter()
+    bank = pose_trainer.load_ray_bank(cors, IMG, N_VIEWS)
+    a1 = artifacts.load_array(cors, "a1.npy")
+    cfg = PoseTrainConfig()
+    neg = pose_trainer.build_negatives(
+        field, state.params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+        a1, cfg, image_size=IMG, n_loops=20, threshold=0.2,
+    )
+    print(f"negatives: {neg.shape}", flush=True)
+    aug_cfg = aug_lib.AugmentConfig(crop_res=IMG, min_mask_sum=10.0, p_distractor=0.3)
+    pstate, cnn, plosses = pose_trainer.train_pose(
+        field, state.params_fine, scene0.images, scene0.sils, bank, neg,
+        cfg=cfg, aug_cfg=aug_cfg, n_steps=POSE_STEPS, steps_per_call=50,
+    )
+    timings["pose"] = round(time.perf_counter() - t, 1)
+    print(f"pose: loss {np.mean(plosses[:20]):.5f} -> {np.mean(plosses[-20:]):.5f} "
+          f"({timings['pose']} s)", flush=True)
+
+    t = time.perf_counter()
+    verts_scaled, feats, normals = gen_feat.gen_feat(
+        field, pstate.nerf_params, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+        diam, exp0, 1, FeatConfig(mc_threshold=0.05), image_size=IMG, threshold=0.2,
+    )
+    timings["bake"] = round(time.perf_counter() - t, 1)
+    print(f"baked {verts_scaled.shape[0]} keys ({timings['bake']} s)", flush=True)
+
+    t = time.perf_counter()
+    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:N_INFER])))
+    Ks = np.asarray(scene1.K[:N_INFER]).astype(np.float32)
+    Ks[:, 0:2, 2] -= 0.5
+    pred_R, pred_t = inference.run_sequence(
+        cnn, pstate.cnn_params, imgs_n, np.asarray(scene1.sils[:N_INFER]), Ks,
+        verts_scaled, feats, cfg=InferenceConfig(), batch=min(8, N_INFER),
+    )
+    verts_j = jnp.asarray(verts_scaled, jnp.float32)
+    adds = [
+        float(metrics.add_metric(
+            verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
+            jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
+        for i in range(N_INFER)
+    ]
+    timings["infer"] = round(time.perf_counter() - t, 1)
+    thresh = 0.1 * diam * scale
+    correct = int(sum(a < thresh for a in adds))
+    timings["total"] = round(time.perf_counter() - t0, 1)
+
+    print(json.dumps({
+        "views": N_VIEWS, "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
+        "n_keys": int(verts_scaled.shape[0]),
+        "pose_correct": f"{correct}/{N_INFER}",
+        "median_add": round(float(np.median(adds)), 4),
+        "add_thresh": round(thresh, 4),
+        "adds": [round(a, 3) for a in adds],
+        "timings_s": timings,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,23 @@ def grid_rays(cam: Camera, image_size: int, n_pts: int, min_depth, max_depth) ->
     return RayBundle(origins=origins, directions=dirs, lengths=lengths, xys=xys)
 
 
+def rays_at_pixels(cam: Camera, pix_idx: jnp.ndarray, image_size: int, n_pts: int, min_depth, max_depth) -> RayBundle:
+    """Grid rays restricted to flat row-major pixel indices (the static-
+    shape analog of the reference's maskRays silhouette restriction,
+    pren.py:207-213): same pixel-center NDC convention as grid_rays."""
+    S = image_size
+    row = (pix_idx // S).astype(jnp.float32)
+    col = (pix_idx % S).astype(jnp.float32)
+    x = 1.0 - 2.0 * (col + 0.5) / S
+    y = 1.0 - 2.0 * (row + 0.5) / S
+    xys = jnp.stack([x, y], axis=-1)
+    dirs = ndc_directions(cam, xys)
+    origins = jnp.broadcast_to(camera_center(cam)[..., None, :], dirs.shape)
+    lengths = jnp.linspace(min_depth, max_depth, n_pts).astype(jnp.float32)
+    lengths = jnp.broadcast_to(lengths, dirs.shape[:-1] + (n_pts,))
+    return RayBundle(origins=origins, directions=dirs, lengths=lengths, xys=xys)
+
+
 def monte_carlo_rays(
     cam: Camera,
     n_rays: int,

@@ -66,7 +66,8 @@ def view_surface_hits(
     field,
     params,
     cam: cam_lib.Camera,
-    sil: jnp.ndarray,
+    sel_idx: jnp.ndarray,
+    sel_valid: jnp.ndarray,
     mverts_pad: jnp.ndarray,
     mverts_mask: jnp.ndarray,
     image_size: int,
@@ -77,7 +78,11 @@ def view_surface_hits(
     mesh_dist: float,
     back_div: float,
 ):
-    """One view's front + back surface hits, fixed shape (S*S).
+    """One view's front + back surface hits over a fixed budget of
+    silhouette pixels (``sel_idx``: (M,) flat row-major indices, padded;
+    ``sel_valid``: padding mask).  Restricting rays to the silhouette is
+    the reference's maskRays=True (pren.py:207-213, generateCors.py:300) —
+    it cuts the render cost by the background fraction (~2-3x).
 
     Returns dict of arrays + validity masks.
     """
@@ -85,24 +90,20 @@ def view_surface_hits(
     def field_fn(pts, dirs, mode):
         return field.apply(params, pts, dirs, mode)
 
-    # Front pass: grid rays, thresholded EA weights.
-    images, weights, bundle = renderer.render_grid_chunked(
+    # Front pass: silhouette-pixel rays, thresholded EA weights.
+    bundle = cam_lib.rays_at_pixels(cam, sel_idx, image_size, n_pts, min_depth, max_depth)
+    images, weights = renderer.render_rays_chunked(
         field_fn,
-        cam,
-        image_size,
-        n_pts,
-        min_depth,
-        max_depth,
+        bundle,
         mode="feature",
         threshold_mode=True,
         threshold=threshold,
-        chunk=min(32768, image_size * image_size),
+        chunk=min(32768, sel_idx.shape[0]),
     )
     pos_vec = raymarch.surface_points(bundle.origins, bundle.directions, bundle.lengths, weights)
-    sil_flat = sil.reshape(-1) > 0.5
     hit = weights.sum(-1) > 0  # ray actually crossed the surface
     d_mesh, _ = pc.nn_query(pos_vec, mverts_pad, ref_mask=mverts_mask)
-    front_valid = sil_flat & hit & (d_mesh < mesh_dist)
+    front_valid = sel_valid & hit & (d_mesh < mesh_dist)
 
     # Back pass (generateCors.py:323-334): rays from the front hit pointing
     # along -normalize(camera origin); lengths rescaled by /3.
@@ -114,7 +115,7 @@ def view_surface_hits(
         dens = field.apply(params, pts, method=field.density)
         return dens[..., 0]
 
-    chunk = min(32768, image_size * image_size)
+    chunk = min(32768, sel_idx.shape[0])
     n = back.origins.shape[0]
     n_chunks = n // chunk if n % chunk == 0 else n // chunk + 1
     pad = n_chunks * chunk - n
@@ -179,15 +180,29 @@ def generate_cors(
     z = np.abs(np.asarray(t_bop)[:, 2])
     min_d, max_d = float(z.min() - depth_margin), float(z.max() + depth_margin)
 
+    # fixed silhouette-pixel budget shared by all views (one compiled shape)
+    sil_flat = np.asarray(sils).reshape(np.asarray(R_bop).shape[0], -1) > 0.5
+    max_count = max(int(sil_flat.sum(axis=1).max()), 1)
+    budget = min(S * S, int(np.ceil(max_count / 8192)) * 8192)
+
     n_views = np.asarray(R_bop).shape[0]
     for i in range(n_views):
         if artifacts.has_view_rays(cors, S, i):
             continue  # idempotent skip (generateCors.py:277-278)
+        idx = np.where(sil_flat[i])[0]
+        if idx.size == 0:
+            idx = np.zeros((1,), np.int64)
+        k = min(idx.size, budget)
+        sel = np.zeros((budget,), np.int32)
+        sel[:k] = idx[:k]
+        sel_valid = np.zeros((budget,), bool)
+        sel_valid[:k] = True
         out = view_surface_hits(
             field,
             params,
             cam_all[i],
-            jnp.asarray(sils[i]),
+            jnp.asarray(sel),
+            jnp.asarray(sel_valid),
             mverts_pad,
             mverts_mask,
             S,

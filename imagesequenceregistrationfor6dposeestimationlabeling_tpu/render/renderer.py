@@ -119,7 +119,25 @@ def render_grid_chunked(
     Equivalent to renderer_grid + batched_forward (generateCors.py:300-304).
     """
     bundle = grid_rays(cam, image_size, n_pts, min_depth, max_depth)
+    images, weights = render_rays_chunked(
+        field_fn, bundle, mode=mode, threshold_mode=threshold_mode,
+        threshold=threshold, chunk=chunk,
+    )
+    return images, weights, bundle
+
+
+def render_rays_chunked(
+    field_fn: Callable,
+    bundle: RayBundle,
+    mode: str = "feature",
+    threshold_mode: bool = True,
+    threshold: float = 0.2,
+    chunk: int = 32768,
+):
+    """Chunked EA render of an arbitrary flat ray bundle (N rays).
+    Returns (images (N, C+1), weights (N, P))."""
     n = bundle.origins.shape[0]
+    n_pts = bundle.lengths.shape[-1]
     pad = (-n) % chunk
     o = jnp.pad(bundle.origins, ((0, pad), (0, 0)))
     d = jnp.pad(bundle.directions, ((0, pad), (0, 0)))
@@ -140,7 +158,7 @@ def render_grid_chunked(
     images, weights = jax.lax.map(body, (o, d, l))
     images = images.reshape(n_chunks * chunk, -1)[:n]
     weights = weights.reshape(n_chunks * chunk, -1)[:n]
-    return images, weights, bundle
+    return images, weights
 
 
 def render_depth(bundle: RayBundle, weights: jnp.ndarray) -> jnp.ndarray:
