@@ -52,27 +52,13 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
 
 
 def load_scene_cached(uh: int):
-    """Synthetic scenes are deterministic in (uh, N_VIEWS, IMG) — cache them
-    on disk so bench reruns skip the ~9 min generation (VERDICT r1 weak #8)."""
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
-
-    os.makedirs(_CACHE, exist_ok=True)
-    path = os.path.join(_CACHE, f"scene_{uh}_{N_VIEWS}_{IMG}.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        return synthetic.SyntheticScene(
-            images=jnp.asarray(z["images"]), sils=jnp.asarray(z["sils"]),
-            R_bop=jnp.asarray(z["R_bop"]), t_bop=jnp.asarray(z["t_bop"]),
-            K=jnp.asarray(z["K"]), diameter=float(z["diameter"]),
-        )
-    scene = synthetic.make_scene(n_views=N_VIEWS, image_size=IMG, key=jax.random.PRNGKey(uh))
-    jax.block_until_ready(scene.images)
-    np.savez(
-        path, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
-        R_bop=np.asarray(scene.R_bop), t_bop=np.asarray(scene.t_bop),
-        K=np.asarray(scene.K), diameter=scene.diameter,
+    """Cache scenes on disk so bench reruns skip the ~9 min generation
+    (VERDICT r1 weak #8)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
+        load_scene_cached as _load,
     )
-    return scene
+
+    return _load(uh, N_VIEWS, IMG, cache_dir=_CACHE)
 
 
 def main():

@@ -39,7 +39,8 @@ SCHEDULES = [
     (400, 3, 800),    # same ray budget, half the steps
     (200, 6, 800),    # same ray budget, quarter the steps
     (400, 3, 400),    # HALF the ray budget, half the steps
-    (267, 3, 400),    # third budget, fast steps
+    (250, 3, 400),    # third budget (multiple of steps_per_call=50 — odd
+                      # tails compile an extra program, ~60-200 s via relay)
 ]
 
 
@@ -54,8 +55,11 @@ def main():
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import nerf_trainer
 
-    scene = synthetic.make_scene(n_views=N_VIEWS, image_size=IMG, key=jax.random.PRNGKey(0))
-    jax.block_until_ready(scene.images)
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
+        load_scene_cached,
+    )
+
+    scene = load_scene_cached(0, N_VIEWS, IMG)
     gt_pts, ok = synthetic.analytic_surface_points(20000, jax.random.PRNGKey(9))
     gt = jnp.asarray(np.asarray(gt_pts)[np.asarray(ok)], jnp.float32)
     field = fields.NerfField(FieldConfig())
@@ -75,7 +79,11 @@ def main():
         t0 = time.perf_counter()
         try:
             verts, _ = nerf_trainer.extract_point_cloud(field, state.params_fine, threshold=0.03)
-            cham = float(pc.chamfer_distance(jnp.asarray(verts[:20000], jnp.float32), gt))
+            # uniform random subsample — verts are in grid-slice order, so a
+            # [:20000] prefix would be a spatial slab and inflate the
+            # symmetric Chamfer regardless of quality
+            sub = verts[np.random.default_rng(0).permutation(verts.shape[0])[:20000]]
+            cham = float(pc.chamfer_distance(jnp.asarray(sub, jnp.float32), gt))
             n_verts = int(verts.shape[0])
         except Exception as e:
             cham, n_verts = float("nan"), 0

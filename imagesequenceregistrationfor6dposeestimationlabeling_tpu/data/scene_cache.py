@@ -1,0 +1,48 @@
+"""Disk cache for synthetic scenes (bench + experiments).
+
+Synthetic scene rendering is deterministic in (seed, n_views, image_size)
+but costs minutes per sequence on-device; the reference pipeline loads
+images from disk (cowrendersynth.py:610-747), so cached scenes keep the
+benchmarked pipeline comparable while bench/experiment reruns skip the
+generation cost (VERDICT r1 weak #8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".bench_cache",
+)
+
+
+def load_scene_cached(seed: int, n_views: int, image_size: int, cache_dir: str | None = None):
+    """Return a ``SyntheticScene``, generating and caching it if absent."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
+
+    cache_dir = cache_dir or _DEFAULT_CACHE
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"scene_{seed}_{n_views}_{image_size}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return synthetic.SyntheticScene(
+            images=jnp.asarray(z["images"]), sils=jnp.asarray(z["sils"]),
+            R_bop=jnp.asarray(z["R_bop"]), t_bop=jnp.asarray(z["t_bop"]),
+            K=jnp.asarray(z["K"]), diameter=float(z["diameter"]),
+        )
+    scene = synthetic.make_scene(
+        n_views=n_views, image_size=image_size, key=jax.random.PRNGKey(seed)
+    )
+    jax.block_until_ready(scene.images)
+    np.savez(
+        path, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
+        R_bop=np.asarray(scene.R_bop), t_bop=np.asarray(scene.t_bop),
+        K=np.asarray(scene.K), diameter=scene.diameter,
+    )
+    return scene
