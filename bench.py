@@ -44,6 +44,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 800))
+NERF_RAYS = int(os.environ.get("BENCH_NERF_RAYS", 400))
 POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 200))
 N_VIEWS = int(os.environ.get("BENCH_VIEWS", 8))
 N_INFER = int(os.environ.get("BENCH_INFER", 8))
@@ -99,7 +100,7 @@ def main():
     t_data = time.perf_counter()
 
     field = fields.NerfField(FieldConfig())
-    render_cfg = RenderConfig()
+    render_cfg = RenderConfig(n_rays_per_image=NERF_RAYS)
     cors_cfg = CorsConfig(density_threshold=0.2)
 
     states = []

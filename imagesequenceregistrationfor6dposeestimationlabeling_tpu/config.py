@@ -108,6 +108,11 @@ class FeatConfig:
     mc_threshold: float = 0.05
     mesh_dist: float = 0.05
     sample_loops: int = 19
+    # Baked-array length is rounded up to this multiple (points cycled to
+    # pad): the key count varies run-to-run with the trained surface, and a
+    # stable shape lets every downstream program (correspondence argmax,
+    # RANSAC, ICP) reuse its compile-cache entry.  1 = exact count.
+    pad_multiple: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

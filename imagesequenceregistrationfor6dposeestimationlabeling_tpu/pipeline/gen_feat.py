@@ -80,6 +80,15 @@ def gen_feat(
     pts = pts[close]
     normals = mnormals[np.asarray(nn_idx)[close]]
 
+    if cfg.pad_multiple > 1 and pts.shape[0] > 0:
+        # cycle points up to the bucket boundary (duplicate keys are
+        # harmless for argmax correspondence / ICP and keep shapes stable
+        # across runs — see FeatConfig.pad_multiple)
+        target = int(np.ceil(pts.shape[0] / cfg.pad_multiple) * cfg.pad_multiple)
+        reps = np.resize(np.arange(pts.shape[0]), target)
+        pts = pts[reps]
+        normals = normals[reps]
+
     feats = np.asarray(field.apply(params, jnp.asarray(pts), method=field.features))
 
     scale = diameter / diam_scaling

@@ -163,14 +163,30 @@ class RayBank(NamedTuple):
     back_valid: jnp.ndarray
 
 
-def load_ray_bank(cors_dir: str, render_size: int, n_views: int, max_rays: Optional[int] = None) -> RayBank:
-    """Load the artifact bus into padded device arrays."""
+def load_ray_bank(
+    cors_dir: str,
+    render_size: int,
+    n_views: int,
+    max_rays: Optional[int] = None,
+    bucket: int = 2048,
+) -> RayBank:
+    """Load the artifact bus into padded device arrays.
+
+    Per-view ray counts vary with the trained surface, so the pad target is
+    rounded up to a multiple of ``bucket``: the downstream train-step
+    programs keep a stable shape across pipeline runs and hit the
+    persistent compile cache (a fresh CNN-scan compile costs ~2 min through
+    the TPU relay)."""
     pos, xys, bxys, bvec = [], [], [], []
     for i in range(n_views):
         x, p, bx, bv = artifacts.load_view_rays(cors_dir, render_size, i)
         xys.append(x); pos.append(p); bxys.append(bx); bvec.append(bv)
-    M = max_rays or max(max(p.shape[0] for p in pos), 1)
-    Mb = max_rays or max(max(b.shape[0] for b in bvec), 1)
+
+    def rounded(m):
+        return int(np.ceil(max(m, 1) / bucket) * bucket) if bucket > 1 else max(m, 1)
+
+    M = max_rays or rounded(max(p.shape[0] for p in pos))
+    Mb = max_rays or rounded(max(b.shape[0] for b in bvec))
 
     def padto(arrs, m, dim):
         out = np.zeros((n_views, m, dim), np.float32)
