@@ -70,6 +70,18 @@ def test_ray_bank_loading(cors_setup):
     assert np.abs(np.asarray(bank.pos_vec[0])[v]).max() > 0
 
 
+def test_ray_bank_bucketed_shape(cors_setup):
+    """Pad targets round up to the bucket so the downstream train-step
+    program shape is stable across runs (compile-cache reuse)."""
+    scene, cors = cors_setup
+    bank = pose_trainer.load_ray_bank(cors, S, 6, bucket=64)
+    assert bank.pos_vec.shape[1] % 64 == 0
+    assert bank.back_vec.shape[1] % 64 == 0
+    # explicit max_rays still wins over the bucket
+    bank2 = pose_trainer.load_ray_bank(cors, S, 6, max_rays=100, bucket=64)
+    assert bank2.pos_vec.shape[1] == 100
+
+
 @pytest.mark.slow
 def test_pose_training_loss_decreases(cors_setup):
     scene, cors = cors_setup
