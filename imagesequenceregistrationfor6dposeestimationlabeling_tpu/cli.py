@@ -333,12 +333,22 @@ def cmd_train_pose(args):
 
         bg_bank = aug_lib.load_background_bank(args.bg_dir, cfg.image_size)
         print(f"background bank: {bg_bank.shape[0]} images from {args.bg_dir}")
+    distractor_bank = None
+    if args.distractor_dir:
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
+
+        distractor_bank = aug_lib.load_distractor_bank(args.distractor_dir, cfg.image_size)
+        if aug_cfg is None:
+            aug_cfg = aug_lib.AugmentConfig(
+                crop_res=cfg.image_size, min_mask_sum=10.0, p_distractor=0.3
+            )
+        print(f"distractor bank: {distractor_bank[0].shape[0]} crops from {args.distractor_dir}")
 
     state, cnn, losses = pose_trainer.train_pose(
         field, params, jnp.asarray(images), jnp.asarray(sils), bank, neg,
         cfg=cfg, n_steps=n_steps, log_every=args.log_every,
         on_checkpoint=save_latest, init_cnn_params=init_cnn, resume_state=resume_state,
-        aug_cfg=aug_cfg, bg_bank=bg_bank,
+        aug_cfg=aug_cfg, bg_bank=bg_bank, distractor_bank=distractor_bank,
     )
     checkpoint.save(os.path.join(pose_d, "nerflatest"), state.nerf_params, int(state.step))
     checkpoint.save(os.path.join(pose_d, "encoderRGBlatest"), state.cnn_params, int(state.step))
@@ -719,6 +729,9 @@ def build_parser():
                             help="paste other-view distractors, p=0.3 (augment.py:402-418)")
             sp.add_argument("--bg-dir", default="",
                             help="directory of background images (COCO stand-in, augment.py:297-314)")
+            sp.add_argument("--distractor-dir", default="",
+                            help="directory of other-object masked crops pasted as "
+                                 "occluding distractors, p=0.3 (tless_aug, augment.py:402-418)")
         if name == "rel-poses":
             sp.add_argument("--cal-gt", action="store_true")
             sp.add_argument("--cal-pred", action="store_true")

@@ -298,6 +298,36 @@ def load_background_bank(dir_path: str, size: int, max_images: int = 256):
     return bank
 
 
+def load_distractor_bank(dir_path: str, size: int, max_images: int = 128):
+    """Load an image folder as a distractor bank: (N, size, size, 3) rgb +
+    (N, size, size) masks.  Intended for masked crops of OTHER objects (the
+    reference pastes other T-LESS objects' crops, augment.py:402-418), so
+    the mask is recovered as the non-black region — exactly the convention
+    of the BOP loader's background-masked crops (data/bop.py)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    files = sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.lower().endswith(exts)
+    )[:max_images]
+    if not files:
+        raise ValueError(f"no images found in distractor dir {dir_path}")
+    rgbs = np.stack([
+        np.asarray(
+            Image.open(f).convert("RGB").resize((size, size), Image.NEAREST),
+            np.float32,
+        ) / 255.0
+        for f in files
+    ])
+    masks = (rgbs.max(-1) > 1.0 / 255.0).astype(np.float32)
+    return rgbs, masks
+
+
 def nocs_map(xys: jnp.ndarray, pos_vec: jnp.ndarray, valid: jnp.ndarray, res: int = 224) -> jnp.ndarray:
     """Rasterize per-ray 3D surface coordinates into a NOCS image
     (getNerfSamples NOCS branch, augment.py:686-700): each transformed ray

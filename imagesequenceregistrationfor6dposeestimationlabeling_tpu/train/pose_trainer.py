@@ -207,17 +207,19 @@ def load_ray_bank(
     )
 
 
-def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None):
+def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None, distractor_bank=None):
     """One jitted descriptor-training step over a batch of view indices.
 
     With ``mesh``, the view batch shards over the 'data' axis (augmentation,
     CNN and key evals are per-view independent); both networks' params stay
     replicated and XLA inserts the gradient psum.
 
-    With ``aug_cfg.p_distractor > 0``, each view gets another view of the
-    batch pasted as an occluding distractor (augment.py:402-418); with
-    ``bg_bank``, random bank images replace the noise background
-    (augment.py:297-314).
+    With ``aug_cfg.p_distractor > 0``, each view gets an occluding
+    distractor pasted (augment.py:402-418): a random crop from
+    ``distractor_bank`` ((D, S, S, 3) rgb, (D, S, S) mask) of OTHER
+    objects when given — the reference's tless_aug behavior — else another
+    view of the batch.  With ``bg_bank``, random bank images replace the
+    noise background (augment.py:297-314).
     """
 
     def loss_fn(params, images, sils, pos_vec, xys, valid, neg_pts, key):
@@ -231,10 +233,17 @@ def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
         B = images.shape[0]
         k_aug, k_sel, k_noise = jax.random.split(key, 3)
 
-        # --- on-device augmentation; the distractor for view i is view i+1
-        # of the batch (another viewpoint acting as an occluder)
+        # --- on-device augmentation; the distractor for view i is a random
+        # bank crop (other objects) or view i+1 of the batch (another
+        # viewpoint acting as an occluder)
         if aug_cfg.p_distractor > 0:
-            distractor = (jnp.roll(images, 1, axis=0), jnp.roll(sils, 1, axis=0))
+            if distractor_bank is not None:
+                d_rgb, d_mask = distractor_bank
+                k_aug, k_pick = jax.random.split(k_aug)
+                pick = jax.random.randint(k_pick, (B,), 0, d_rgb.shape[0])
+                distractor = (d_rgb[pick], d_mask[pick])
+            else:
+                distractor = (jnp.roll(images, 1, axis=0), jnp.roll(sils, 1, axis=0))
             aug = jax.vmap(
                 aug_lib.augment_view, in_axes=(0, 0, 0, None, (0, 0), None)
             )(jax.random.split(k_aug, B), images, sils, aug_cfg, distractor, bg_bank)
@@ -286,7 +295,7 @@ def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
     return step_fn
 
 
-def make_pose_multi_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None):
+def make_pose_multi_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_cfg: aug_lib.AugmentConfig, mesh=None, bg_bank=None, distractor_bank=None):
     """Scan `n_inner` descriptor steps inside ONE jitted program.
 
     The round-1 profile showed a 91.6 ms step paying 40-90 ms of relay
@@ -295,7 +304,10 @@ def make_pose_multi_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
     bank and negative pool stay resident in HBM; each inner step gathers
     its view batch by index.
     """
-    step_fn_inner = make_pose_train_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank)
+    step_fn_inner = make_pose_train_step(
+        field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank,
+        distractor_bank=distractor_bank,
+    )
 
     @jax.jit
     def multi_step(state: PoseTrainState, images, sils, bank: RayBank, neg_pts, idx, key):
@@ -341,6 +353,7 @@ def train_pose(
     mesh="auto",
     steps_per_call: int = 25,
     bg_bank=None,
+    distractor_bank=None,
 ):
     """Phase-2 training loop.  Returns (state, cnn, losses).
     ``on_checkpoint(state, step)`` fires every cfg.ckpt_every steps
@@ -381,7 +394,14 @@ def train_pose(
         bg_bank = jnp.asarray(bg_bank, jnp.float32)
         if mesh is not None:
             bg_bank = mesh_lib.replicate(bg_bank, mesh)
-    multi = make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank)
+    if distractor_bank is not None:
+        distractor_bank = tuple(jnp.asarray(a, jnp.float32) for a in distractor_bank)
+        if mesh is not None:
+            distractor_bank = mesh_lib.replicate(distractor_bank, mesh)
+    multi = make_pose_multi_step(
+        field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank,
+        distractor_bank=distractor_bank,
+    )
 
     neg_j = jnp.asarray(neg_pts, jnp.float32)
     images = jnp.asarray(images)

@@ -37,6 +37,21 @@ def test_distractor_none_is_noop():
     assert out.rgb.shape == (48, 48, 3)
 
 
+def test_distractor_bank_loader(tmp_path):
+    """load_distractor_bank recovers masks as the non-black region of
+    background-masked crops (the BOP loader's crop convention)."""
+    from PIL import Image
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[8:24, 8:24] = (200, 60, 30)
+    Image.fromarray(img).save(tmp_path / "crop0.png")
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(tmp_path / "crop1.png")
+    rgbs, masks = augment.load_distractor_bank(str(tmp_path), 32)
+    assert rgbs.shape == (2, 32, 32, 3) and masks.shape == (2, 32, 32)
+    assert masks[0].sum() > 100 and masks[0][0, 0] == 0
+    assert masks[1].sum() == 0  # all-black crop -> empty mask
+
+
 def test_background_bank_composites_bank_image():
     """With bg_bank + p_background=1, outside-mask pixels come from the
     bank image, not smooth noise (COCO-paste parity, augment.py:297-314)."""
@@ -96,3 +111,13 @@ def test_train_pose_with_distractors_and_bank():
         aug_cfg=aug_cfg, n_steps=2, cnn=cnn, bg_bank=bg_bank, mesh=None,
     )
     assert np.isfinite(losses).all()
+    # other-object distractor bank routes through the same public trainer
+    d_rgb = rng.uniform(size=(3, size, size, 3)).astype(np.float32)
+    d_mask = (rng.uniform(size=(3, size, size)) > 0.6).astype(np.float32)
+    _, _, losses2 = pose_trainer.train_pose(
+        field, nerf_params, scene.images, scene.sils, bank, neg,
+        cfg=PoseTrainConfig(batch_size=4, sample_size=16, warmup_steps=2),
+        aug_cfg=aug_cfg, n_steps=2, cnn=cnn, mesh=None,
+        distractor_bank=(d_rgb, d_mask),
+    )
+    assert np.isfinite(losses2).all()
