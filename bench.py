@@ -52,14 +52,6 @@ IMG = 224
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
-def load_scene_cached(uh: int):
-    """Cache scenes on disk so bench reruns skip the ~9 min generation
-    (VERDICT r1 weak #8)."""
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
-        load_scene_cached as _load,
-    )
-
-    return _load(uh, N_VIEWS, IMG, cache_dir=_CACHE)
 
 
 def main():
@@ -90,11 +82,16 @@ def main():
 
     import tempfile
 
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
+        load_scene_cached,
+    )
+
     t0 = time.perf_counter()
     out_root = tempfile.mkdtemp(prefix="bench_")
 
-    # --- data: two half-sequences of the same object (disk-cached)
-    halves = [load_scene_cached(uh) for uh in (0, 1)]
+    # --- data: two half-sequences of the same object (disk-cached,
+    # VERDICT r1 weak #8)
+    halves = [load_scene_cached(uh, N_VIEWS, IMG, cache_dir=_CACHE) for uh in (0, 1)]
     diam = halves[0].diameter
     scale = diam / 1.8
     t_data = time.perf_counter()
@@ -165,7 +162,10 @@ def main():
         cnn, pstate.cnn_params, imgs_n, np.asarray(scene1.sils[:n_inf]), Ks_fixed,
         verts_scaled, feats, cfg=InferenceConfig(), batch=n_inf,
     )
-    verts_j = jnp.asarray(verts_scaled, jnp.float32)
+    # trim the cycled pad tail for metrics (gen_feat writes the true count;
+    # duplicates would double-weight the cycled prefix in the ADD mean)
+    n_real = int(artifacts.load_array(artifacts.pose_dir(exp0, 1), "n_keys.npy")[0])
+    verts_j = jnp.asarray(verts_scaled[:n_real], jnp.float32)
     adds = [
         float(metrics.add_metric(
             verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,

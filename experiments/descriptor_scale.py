@@ -37,12 +37,6 @@ N_INFER = int(os.environ.get("DS_INFER", 16))
 _CACHE = os.path.join(_REPO, ".bench_cache")
 
 
-def load_scene_cached(uh: int, n_views: int):
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
-        load_scene_cached as _load,
-    )
-
-    return _load(uh, n_views, IMG, cache_dir=_CACHE)
 
 
 def main():
@@ -64,12 +58,16 @@ def main():
 
     import tempfile
 
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
+        load_scene_cached,
+    )
+
     out_root = tempfile.mkdtemp(prefix="dscale_")
     timings = {}
     t0 = time.perf_counter()
 
-    scene0 = load_scene_cached(0, N_VIEWS)
-    scene1 = load_scene_cached(1, max(N_INFER, 16))
+    scene0 = load_scene_cached(0, N_VIEWS, IMG, cache_dir=_CACHE)
+    scene1 = load_scene_cached(1, max(N_INFER, 16), IMG, cache_dir=_CACHE)
     diam = scene0.diameter
     scale = diam / 1.8
     timings["data"] = round(time.perf_counter() - t0, 1)

@@ -78,7 +78,8 @@ def main():
         )
         jax.block_until_ready(errs)
         out[f"agreement_{tag}_s"] = round(time.perf_counter() - t0, 2)
-    best, top = registration.choose_best_image(np.asarray(agree))
+    best, _top = registration.choose_best_image(np.asarray(agree))
+    out["choose_best"] = best
     out["best_row_agreements"] = int(np.asarray(agree).sum(axis=1).max())
 
     # --- N-1 consecutive-pair Chamfer verification (verfication.py:59-108)
@@ -87,6 +88,7 @@ def main():
         bidx, chams = registration.verify_consecutive(cloud, R_gt, t_gt, R_pred, t_pred)
         out[f"verify_{tag}_s"] = round(time.perf_counter() - t0, 2)
     out["verify_best"] = bidx
+    out["verify_min_chamfer"] = round(float(min(chams)), 4)
 
     print(json.dumps(out), flush=True)
 

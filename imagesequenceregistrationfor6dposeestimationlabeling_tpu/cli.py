@@ -321,7 +321,7 @@ def cmd_train_pose(args):
     # content augmentation: distractor pastes + image-file backgrounds
     # (reference augment.py:297-314, 402-418)
     aug_cfg = None
-    if args.distractors:
+    if args.distractors or args.distractor_dir:
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
 
         aug_cfg = aug_lib.AugmentConfig(
@@ -338,10 +338,6 @@ def cmd_train_pose(args):
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug_lib
 
         distractor_bank = aug_lib.load_distractor_bank(args.distractor_dir, cfg.image_size)
-        if aug_cfg is None:
-            aug_cfg = aug_lib.AugmentConfig(
-                crop_res=cfg.image_size, min_mask_sum=10.0, p_distractor=0.3
-            )
         print(f"distractor bank: {distractor_bank[0].shape[0]} crops from {args.distractor_dir}")
 
     state, cnn, losses = pose_trainer.train_pose(

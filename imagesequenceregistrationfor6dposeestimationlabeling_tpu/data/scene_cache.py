@@ -40,9 +40,13 @@ def load_scene_cached(seed: int, n_views: int, image_size: int, cache_dir: str |
         n_views=n_views, image_size=image_size, key=jax.random.PRNGKey(seed)
     )
     jax.block_until_ready(scene.images)
+    # atomic publish: an interrupted or concurrent writer must never leave a
+    # truncated .npz that poisons every later run
+    tmp = path + f".tmp.{os.getpid()}.npz"
     np.savez(
-        path, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
+        tmp, images=np.asarray(scene.images), sils=np.asarray(scene.sils),
         R_bop=np.asarray(scene.R_bop), t_bop=np.asarray(scene.t_bop),
         K=np.asarray(scene.K), diameter=scene.diameter,
     )
+    os.replace(tmp, path)
     return scene

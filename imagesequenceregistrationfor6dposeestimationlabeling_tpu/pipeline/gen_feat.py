@@ -80,12 +80,16 @@ def gen_feat(
     pts = pts[close]
     normals = mnormals[np.asarray(nn_idx)[close]]
 
-    if cfg.pad_multiple > 1 and pts.shape[0] > 0:
+    n_real = pts.shape[0]
+    if cfg.pad_multiple > 1 and n_real > 0:
         # cycle points up to the bucket boundary (duplicate keys are
-        # harmless for argmax correspondence / ICP and keep shapes stable
-        # across runs — see FeatConfig.pad_multiple)
-        target = int(np.ceil(pts.shape[0] / cfg.pad_multiple) * cfg.pad_multiple)
-        reps = np.resize(np.arange(pts.shape[0]), target)
+        # harmless for argmax correspondence and keep shapes stable across
+        # runs — see FeatConfig.pad_multiple).  The true count is saved in
+        # n_keys.npy so metric/registration consumers can trim the cycled
+        # tail (duplicates would double-weight the cycled prefix in
+        # ADD means and ICP least-squares).
+        target = int(np.ceil(n_real / cfg.pad_multiple) * cfg.pad_multiple)
+        reps = np.resize(np.arange(n_real), target)
         pts = pts[reps]
         normals = normals[reps]
 
@@ -95,4 +99,5 @@ def gen_feat(
     artifacts.save_array(pose, "vert1_scaled.npy", pts * scale)
     artifacts.save_array(pose, "feat1_scaled.npy", feats)
     artifacts.save_array(pose, "normals_scaled.npy", normals)
+    artifacts.save_array(pose, "n_keys.npy", np.asarray([n_real]))
     return pts * scale, feats, normals

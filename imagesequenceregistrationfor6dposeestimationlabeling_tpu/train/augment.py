@@ -272,9 +272,9 @@ augment_batch = jax.jit(
 )
 
 
-def load_background_bank(dir_path: str, size: int, max_images: int = 256):
-    """Load an image folder as an (N, size, size, 3) float32 background bank
-    (the COCO stand-in for augment.py:297-314 — any image directory works)."""
+def _load_image_dir(dir_path: str, size: int, max_images: int, resample, kind: str):
+    """Shared scaffold for the image-folder banks: sorted scan, resize to
+    (size, size), float32 in [0, 1]."""
     import os
 
     import numpy as np
@@ -287,15 +287,22 @@ def load_background_bank(dir_path: str, size: int, max_images: int = 256):
         if f.lower().endswith(exts)
     )[:max_images]
     if not files:
-        raise ValueError(f"no images found in background dir {dir_path}")
-    bank = np.stack([
+        raise ValueError(f"no images found in {kind} dir {dir_path}")
+    return np.stack([
         np.asarray(
-            Image.open(f).convert("RGB").resize((size, size), Image.BICUBIC),
+            Image.open(f).convert("RGB").resize((size, size), resample),
             np.float32,
         ) / 255.0
         for f in files
     ])
-    return bank
+
+
+def load_background_bank(dir_path: str, size: int, max_images: int = 256):
+    """Load an image folder as an (N, size, size, 3) float32 background bank
+    (the COCO stand-in for augment.py:297-314 — any image directory works)."""
+    from PIL import Image
+
+    return _load_image_dir(dir_path, size, max_images, Image.BICUBIC, "background")
 
 
 def load_distractor_bank(dir_path: str, size: int, max_images: int = 128):
@@ -303,28 +310,12 @@ def load_distractor_bank(dir_path: str, size: int, max_images: int = 128):
     (N, size, size) masks.  Intended for masked crops of OTHER objects (the
     reference pastes other T-LESS objects' crops, augment.py:402-418), so
     the mask is recovered as the non-black region — exactly the convention
-    of the BOP loader's background-masked crops (data/bop.py)."""
-    import os
-
-    import numpy as np
+    of the BOP loader's background-masked crops (data/bop.py).  NEAREST
+    resampling keeps mask edges from bleeding gray."""
     from PIL import Image
 
-    exts = (".jpg", ".jpeg", ".png", ".bmp")
-    files = sorted(
-        os.path.join(dir_path, f)
-        for f in os.listdir(dir_path)
-        if f.lower().endswith(exts)
-    )[:max_images]
-    if not files:
-        raise ValueError(f"no images found in distractor dir {dir_path}")
-    rgbs = np.stack([
-        np.asarray(
-            Image.open(f).convert("RGB").resize((size, size), Image.NEAREST),
-            np.float32,
-        ) / 255.0
-        for f in files
-    ])
-    masks = (rgbs.max(-1) > 1.0 / 255.0).astype(np.float32)
+    rgbs = _load_image_dir(dir_path, size, max_images, Image.NEAREST, "distractor")
+    masks = (rgbs.max(-1) > 1.0 / 255.0).astype(rgbs.dtype)
     return rgbs, masks
 
 

@@ -370,7 +370,16 @@ def train_pose(
     batch size to divide the device count; otherwise falls back to
     replicated single-device execution)."""
     S = images.shape[1]
-    aug_cfg = aug_cfg or aug_lib.AugmentConfig(crop_res=S, min_mask_sum=10.0)
+    if aug_cfg is None:
+        # a supplied distractor bank implies distractor pastes are wanted
+        # (mirrors bg_bank, which takes effect via the p_background default)
+        p_dis = 0.3 if distractor_bank is not None else 0.0
+        aug_cfg = aug_lib.AugmentConfig(crop_res=S, min_mask_sum=10.0, p_distractor=p_dis)
+    elif distractor_bank is not None and aug_cfg.p_distractor <= 0:
+        raise ValueError(
+            "distractor_bank was given but aug_cfg.p_distractor is 0 — the bank "
+            "would silently never be used; set p_distractor > 0 or drop the bank"
+        )
     cnn = cnn or ResNetUNet()
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
