@@ -76,6 +76,36 @@ def test_background_bank_composites_bank_image():
 import pytest
 
 
+def test_distractor_bank_without_pastes_rejected():
+    """A bank + p_distractor=0 would silently never be used — train_pose
+    must reject it instead."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+        FieldConfig, PoseTrainConfig,
+    )
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import pose_trainer
+
+    rng = np.random.default_rng(0)
+    size = 16
+    bank = pose_trainer.RayBank(
+        pos_vec=jnp.zeros((2, 4, 3)), xys=jnp.zeros((2, 4, 2)),
+        back_vec=jnp.zeros((2, 1, 3)), back_xys=jnp.zeros((2, 1, 2)),
+        valid=jnp.ones((2, 4), bool), back_valid=jnp.ones((2, 1), bool),
+    )
+    field = fields.NerfField(FieldConfig(n_harmonic_functions=2, n_hidden=8))
+    nerf_params = fields.init_field(field, jax.random.PRNGKey(0))
+    d_bank = (np.zeros((1, size, size, 3), np.float32), np.zeros((1, size, size), np.float32))
+    with pytest.raises(ValueError, match="p_distractor"):
+        pose_trainer.train_pose(
+            field, nerf_params,
+            np.zeros((2, size, size, 3), np.float32), np.ones((2, size, size), np.float32),
+            bank, np.zeros((8, 3), np.float32),
+            cfg=PoseTrainConfig(batch_size=2, sample_size=2, warmup_steps=1),
+            aug_cfg=augment.AugmentConfig(crop_res=size, p_distractor=0.0),
+            n_steps=1, mesh=None, distractor_bank=d_bank,
+        )
+
+
 @pytest.mark.slow
 def test_train_pose_with_distractors_and_bank():
     """The content-augmentation knobs run through the public trainer."""
