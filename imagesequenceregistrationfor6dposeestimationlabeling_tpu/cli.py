@@ -513,21 +513,25 @@ def cmd_rel_poses(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import registration
 
     exp = exp_dir(args)
-    if args.cal_pred:
-        R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
-        t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
-        tag = "pred"
-    else:
-        images, sils, R, t, K, diam = load_data(args, 64)
-        tag = "gt"
-    rel_R, rel_t = registration.relative_pose_tensor(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
-    n = R.shape[0]
-    T = np.zeros((n, n, 4, 4))
-    T[..., :3, :3] = np.asarray(rel_R)
-    T[..., :3, 3] = np.asarray(rel_t)
-    T[..., 3, 3] = 1
-    np.save(os.path.join(exp, f"{args.objid}{tag}_relative_poses.npy"), T)
-    print(f"saved {tag} relative poses {T.shape} -> {exp}")
+    # the reference runs choosePose.py twice (--cal_GT 1 / --cal_pred 1,
+    # choosePose.py:98-114); here both can be requested in one invocation
+    tags = [t for t, on in (("gt", args.cal_gt), ("pred", args.cal_pred)) if on] or ["gt"]
+    for tag in tags:
+        if tag == "pred":
+            R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
+            t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
+        else:
+            images, sils, R, t, K, diam = load_data(args, 64)
+        rel_R, rel_t = registration.relative_pose_tensor(
+            jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)
+        )
+        n = R.shape[0]
+        T = np.zeros((n, n, 4, 4))
+        T[..., :3, :3] = np.asarray(rel_R)
+        T[..., :3, 3] = np.asarray(rel_t)
+        T[..., 3, 3] = 1
+        np.save(os.path.join(exp, f"{args.objid}{tag}_relative_poses.npy"), T)
+        print(f"saved {tag} relative poses {T.shape} -> {exp}")
 
 
 def cmd_choose_image(args):
