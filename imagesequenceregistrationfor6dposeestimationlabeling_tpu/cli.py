@@ -424,6 +424,10 @@ def cmd_inference(args):
     pose_d = artifacts.pose_dir(exp, args.objid)
     verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
     feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
+    # metric cloud = the true (pre-pad) points; the cycled tail exists only
+    # for shape stability and would double-weight the prefix in ADD means
+    n_keys_p = os.path.join(pose_d, "n_keys.npy")
+    n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else verts.shape[0]
     S = args.image_size or 224
     images, sils, R_gt, t_gt, K, diam = load_data(args, S)
 
@@ -449,6 +453,7 @@ def cmd_inference(args):
         work_ct = tot = 0
         correct_ids = []
         verts_j = jnp.asarray(verts, jnp.float32)
+        verts_m = verts_j[:n_real]  # metric cloud without the cycled pad tail
         m = metrics.adds_metric if args.dataset == "tless" else metrics.add_metric
         for a, i in enumerate(full.ids):
             key, sub = jax.random.split(key)
@@ -456,7 +461,7 @@ def cmd_inference(args):
                 cnn, cnn_params, full.frames[a], full.masks[a], full.K[a],
                 verts_j, jnp.asarray(feats, jnp.float32), sub, cfg=InferenceConfig(),
             )
-            err = float(m(verts_j, jnp.asarray(full.R[a], jnp.float32),
+            err = float(m(verts_m, jnp.asarray(full.R[a], jnp.float32),
                           jnp.asarray(full.t[a], jnp.float32), est.R, est.t))
             tot += 1
             if err < 0.1 * diam:
@@ -493,8 +498,9 @@ def cmd_inference(args):
                 jnp.asarray(K[i], jnp.float32), verts_j, jnp.asarray(feats, jnp.float32), sub,
             )
         m = metrics.adds_metric if symmetric else metrics.add_metric
-        err = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.asarray(t_gt[i], jnp.float32), est.R, est.t))
-        err_r = float(m(verts_j, jnp.asarray(R_gt[i], jnp.float32), jnp.zeros(3), est.R, jnp.zeros(3)))
+        verts_m = verts_j[:n_real]  # metric cloud without the cycled pad tail
+        err = float(m(verts_m, jnp.asarray(R_gt[i], jnp.float32), jnp.asarray(t_gt[i], jnp.float32), est.R, est.t))
+        err_r = float(m(verts_m, jnp.asarray(R_gt[i], jnp.float32), jnp.zeros(3), est.R, jnp.zeros(3)))
         tot += 1
         if err < 0.1 * diam:
             work_ct += 1
