@@ -112,6 +112,15 @@ def main():
     print(f"pose: loss {np.mean(plosses[:20]):.5f} -> {np.mean(plosses[-20:]):.5f} "
           f"({timings['pose']} s)", flush=True)
 
+    # persist the trained nets so later rounds can reuse them (the pose
+    # phase is hours; everything else regenerates in minutes)
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
+
+    save_dir = os.path.join(_CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s")
+    checkpoint.save(os.path.join(save_dir, "encoderRGBlatest"), pstate.cnn_params, POSE_STEPS)
+    checkpoint.save(os.path.join(save_dir, "nerflatest"), pstate.nerf_params, POSE_STEPS)
+    print(f"trained params -> {save_dir}", flush=True)
+
     t = time.perf_counter()
     verts_scaled, feats, normals = gen_feat.gen_feat(
         field, pstate.nerf_params, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
