@@ -43,6 +43,12 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# Default NeRF schedule = the reference's (800 steps x 3 cams x 400 rays,
+# trainNerfFine.py:130-137,221-223).  The round-2 ablation (EXPERIMENTS.md)
+# found 400x800 reaches nearly the same surface at ~half the per-step
+# overhead, but the downstream descriptor/median-ADD detail is better at
+# the reference schedule and relay-throttle variance dwarfs the overhead
+# difference; BENCH_NERF_STEPS/BENCH_NERF_RAYS select other schedules.
 NERF_STEPS = int(os.environ.get("BENCH_NERF_STEPS", 800))
 NERF_RAYS = int(os.environ.get("BENCH_NERF_RAYS", 400))
 POSE_STEPS = int(os.environ.get("BENCH_POSE_STEPS", 200))
