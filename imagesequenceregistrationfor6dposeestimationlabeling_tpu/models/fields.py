@@ -206,10 +206,13 @@ class NerfField(nn.Module):
 
 
 def init_field(field: NerfField, key: jax.Array):
-    """Initialize ALL heads (mode='both' touches color+feature layers)."""
+    """Initialize ALL heads (mode='both' touches color+feature layers).
+
+    jitted: eager flax init dispatches one relay round-trip per layer op
+    (~40-90 ms each); one compiled program hits the persistent cache."""
     pts = jnp.zeros((1, 1, 3))
     dirs = jnp.zeros((1, 3))
-    return field.init(key, pts, dirs, "both")
+    return jax.jit(lambda k: field.init(k, pts, dirs, "both"))(key)
 
 
 def freeze_spec(train_feature_head: bool):

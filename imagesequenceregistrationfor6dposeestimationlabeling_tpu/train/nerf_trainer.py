@@ -85,7 +85,8 @@ def init_state(
         pc = fields.init_field(field, k1)
         pf = fields.init_field(field, k2)
     tx = make_optimizer(cfg)
-    opt_state = tx.init((pc, pf))
+    # jitted: eager optax init dispatches per-tensor (~40-90 ms each via relay)
+    opt_state = jax.jit(tx.init)((pc, pf))
     return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
 
 

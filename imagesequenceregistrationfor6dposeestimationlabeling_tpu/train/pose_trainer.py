@@ -144,11 +144,15 @@ def init_pose_state(field, nerf_params, cfg: PoseTrainConfig, key, image_size: i
                     cnn: Optional[ResNetUNet] = None, init_cnn_params=None):
     """Fresh PoseTrainState (also the `like` tree for full-state restore)."""
     cnn = cnn or ResNetUNet()
-    cnn_params = init_cnn_params if init_cnn_params is not None else cnn.init(
-        key, jnp.zeros((1, image_size, image_size, 3))
-    )
+    # jitted inits: eager flax/optax init dispatches one relay round-trip
+    # per layer/moment tensor (~30 s each for the ResNet-UNet); a single
+    # compiled program hits the persistent cache
+    if init_cnn_params is not None:
+        cnn_params = init_cnn_params
+    else:
+        cnn_params = jax.jit(cnn.init)(key, jnp.zeros((1, image_size, image_size, 3)))
     tx = make_pose_optimizer(cfg)
-    opt_state = tx.init((nerf_params, cnn_params))
+    opt_state = jax.jit(tx.init)((nerf_params, cnn_params))
     return PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
 
 
