@@ -285,6 +285,10 @@ def run_sequence(
     if mesh is not None:
         verts_j = mesh_lib.replicate(verts_j, mesh)
         feats_j = mesh_lib.replicate(feats_j, mesh)
+        # params may arrive committed to a single device (jitted init /
+        # train-step outputs); replicate them onto the mesh too or the
+        # batch program sees mixed placements
+        cnn_params = mesh_lib.replicate(cnn_params, mesh)
 
     batch_fn = make_batch_estimator(cnn, cfg, mesh=mesh)
     keys = jax.random.split(jax.random.PRNGKey(seed), imgs.shape[0])
