@@ -126,8 +126,18 @@ def main():
         field, pstate.nerf_params, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
         diam, exp0, 1, FeatConfig(mc_threshold=0.05), image_size=IMG, threshold=0.2,
     )
+    # true (pre-pad) key count: the cycled pad tail exists only for shape
+    # stability and must not be counted/weighted in metrics
+    pose_dir0 = artifacts.pose_dir(exp0, 1)
+    n_keys_p = os.path.join(pose_dir0, "n_keys.npy")
+    n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else verts_scaled.shape[0]
+    # persist the baked arrays next to the trained nets so BENCH_QUALITY=1
+    # (bench.py) can re-measure without re-running the hours-long pose phase
+    for name, arr in [("vert1_scaled.npy", verts_scaled), ("feat1_scaled.npy", feats),
+                      ("normals_scaled.npy", normals), ("n_keys.npy", np.asarray([n_real]))]:
+        np.save(os.path.join(save_dir, name), arr)
     timings["bake"] = round(time.perf_counter() - t, 1)
-    print(f"baked {verts_scaled.shape[0]} keys ({timings['bake']} s)", flush=True)
+    print(f"baked {n_real} keys (padded {verts_scaled.shape[0]}; {timings['bake']} s)", flush=True)
 
     t = time.perf_counter()
     imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:N_INFER])))
@@ -137,7 +147,9 @@ def main():
         cnn, pstate.cnn_params, imgs_n, np.asarray(scene1.sils[:N_INFER]), Ks,
         verts_scaled, feats, cfg=InferenceConfig(), batch=min(8, N_INFER),
     )
-    verts_j = jnp.asarray(verts_scaled, jnp.float32)
+    # metric cloud without the cycled pad tail (duplicates would
+    # double-weight the cycled prefix in the ADD mean)
+    verts_j = jnp.asarray(verts_scaled[:n_real], jnp.float32)
     adds = [
         float(metrics.add_metric(
             verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
@@ -151,7 +163,7 @@ def main():
 
     print(json.dumps({
         "views": N_VIEWS, "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
-        "n_keys": int(verts_scaled.shape[0]),
+        "n_keys": n_real, "n_keys_padded": int(verts_scaled.shape[0]),
         "pose_correct": f"{correct}/{N_INFER}",
         "median_add": round(float(np.median(adds)), 4),
         "add_thresh": round(thresh, 4),

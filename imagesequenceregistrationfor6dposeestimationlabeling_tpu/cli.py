@@ -381,8 +381,8 @@ def cmd_poses_est(args):
 
     exp = exp_dir(args)
     pose_d = artifacts.pose_dir(exp, args.objid)
-    verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
-    feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
+    # padded keys for correspondence (bucketed shapes hit the compile cache)
+    verts, feats, _, _ = artifacts.load_keys(pose_d, trim=False)
     images, sils, R, t, K, diam = load_data(args, args.image_size or 224)
 
     cnn = ResNetUNet()
@@ -422,12 +422,9 @@ def cmd_inference(args):
 
     exp = exp_dir(args)
     pose_d = artifacts.pose_dir(exp, args.objid)
-    verts = artifacts.load_array(pose_d, "vert1_scaled.npy")
-    feats = artifacts.load_array(pose_d, "feat1_scaled.npy")
-    # metric cloud = the true (pre-pad) points; the cycled tail exists only
-    # for shape stability and would double-weight the prefix in ADD means
-    n_keys_p = os.path.join(pose_d, "n_keys.npy")
-    n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else verts.shape[0]
+    # padded keys for correspondence; n_real for the trimmed metric cloud
+    # (the cycled tail would double-weight the prefix in ADD means)
+    verts, feats, _, n_real = artifacts.load_keys(pose_d, trim=False)
     S = args.image_size or 224
     images, sils, R_gt, t_gt, K, diam = load_data(args, S)
 
@@ -548,7 +545,8 @@ def cmd_choose_image(args):
     exp = exp_dir(args)
     gt = np.load(os.path.join(exp, f"{args.objid}gt_relative_poses.npy"))
     pr = np.load(os.path.join(exp, f"{args.objid}pred_relative_poses.npy"))
-    verts = artifacts.load_array(artifacts.pose_dir(exp, args.objid), "vert1_scaled.npy")
+    # trimmed cloud: the cycled pad tail would bias FPS/ADD-S (ADVICE r2)
+    verts, _, _, _ = artifacts.load_keys(artifacts.pose_dir(exp, args.objid))
     idx = farthest_point_sampling(jnp.asarray(verts, jnp.float32), min(512, verts.shape[0]))
     sub = jnp.asarray(verts, jnp.float32)[idx]
     images, sils, R, t, K, diam = load_data(args, 64)
@@ -573,8 +571,10 @@ def cmd_icp(args):
     root = args.root
     exp0 = os.path.join(root, f"0_{args.dataset}_obj_{args.objid}")
     exp1 = os.path.join(root, f"1_{args.dataset}_obj_{args.objid}")
-    upper = artifacts.load_array(artifacts.pose_dir(exp1, args.objid), "vert1_scaled.npy")
-    lower = artifacts.load_array(artifacts.pose_dir(exp0, args.objid), "vert1_scaled.npy")
+    # trimmed clouds: the cycled pad tail would double-weight the prefix in
+    # the ICP least-squares fit and the Chamfer mean (ADVICE r2)
+    upper, _, _, _ = artifacts.load_keys(artifacts.pose_dir(exp1, args.objid))
+    lower, _, _, _ = artifacts.load_keys(artifacts.pose_dir(exp0, args.objid))
     with open(os.path.join(exp0, f"{args.objid}top_50_choices.txt")) as f:
         chosen = int(f.readline())
     pred_R = np.load(os.path.join(exp0, f"{args.objid}pred_R.npy"))[chosen]
@@ -613,7 +613,8 @@ def cmd_verify(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts, registration
 
     exp = exp_dir(args)
-    cloud = artifacts.load_array(artifacts.pose_dir(exp, args.objid), "vert1_scaled.npy")
+    # trimmed cloud: duplicates would double-weight the Chamfer mean
+    cloud, _, _, _ = artifacts.load_keys(artifacts.pose_dir(exp, args.objid))
     pred_R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
     pred_t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
     images, sils, R, t, K, diam = load_data(args, 64)

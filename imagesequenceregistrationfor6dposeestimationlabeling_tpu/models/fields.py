@@ -215,17 +215,36 @@ def init_field(field: NerfField, key: jax.Array):
     return jax.jit(lambda k: field.init(k, pts, dirs, "both"))(key)
 
 
+# Explicit module partition for freeze_spec: every top-level NerfField
+# module must appear in exactly one of these sets, so a renamed/added layer
+# fails loudly instead of silently training or freezing the wrong head.
+FEATURE_HEAD_MODULES = frozenset({"feature_layer", "feat1", "feat2"})
+NON_FEATURE_MODULES = frozenset({"trunk1", "trunk2", "density_layer", "color1", "color2"})
+
+
 def freeze_spec(train_feature_head: bool):
     """optax.multi_transform-style label tree selector.
 
     NeRF training freezes the feature head (trainNerfFine.py:174-186);
     descriptor training trains only the feature head (trainPose.py:160-165).
+
+    Membership is decided by the explicit module sets above — an unknown
+    top-level module name raises instead of guessing by prefix.
     """
 
     def label_fn(params):
         def walk(path, leaf):
-            top = path[0] if path else ""
-            is_feat = str(top).startswith("feature_layer") or str(top).startswith("feat")
+            top = str(path[0]) if path else ""
+            if top in FEATURE_HEAD_MODULES:
+                is_feat = True
+            elif top in NON_FEATURE_MODULES:
+                is_feat = False
+            else:
+                raise ValueError(
+                    f"freeze_spec: unknown NerfField module {top!r} — update "
+                    "FEATURE_HEAD_MODULES/NON_FEATURE_MODULES in models/fields.py "
+                    "when renaming or adding field layers"
+                )
             if train_feature_head:
                 return "train" if is_feat else "freeze"
             return "freeze" if is_feat else "train"

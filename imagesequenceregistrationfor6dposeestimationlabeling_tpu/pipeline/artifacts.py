@@ -75,3 +75,29 @@ def save_array(path_dir: str, name: str, arr):
 
 def load_array(path_dir: str, name: str):
     return np.load(os.path.join(path_dir, name))
+
+
+def load_keys(pose_d: str, trim: bool = True):
+    """Load the baked surface arrays (vert1/feat1/normals_scaled) with the
+    cycled pad tail removed.
+
+    gen_feat cycles points up to a bucket boundary for compile-cache
+    stability and records the true count in ``n_keys.npy``.  Duplicated
+    prefix points are harmless for argmax correspondence but double-weight
+    the cycled prefix in ICP least-squares, Chamfer means and ADD means —
+    every metric/registration consumer must use the trimmed arrays.
+    Returns (verts, feats, normals, n_real); ``trim=False`` keeps the
+    padded arrays (correspondence consumers) while still reporting n_real.
+    """
+    verts = load_array(pose_d, "vert1_scaled.npy")
+    feats = load_array(pose_d, "feat1_scaled.npy")
+    normals_p = os.path.join(pose_d, "normals_scaled.npy")
+    normals = np.load(normals_p) if os.path.exists(normals_p) else None
+    n_keys_p = os.path.join(pose_d, "n_keys.npy")
+    n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else verts.shape[0]
+    if trim:
+        verts = verts[:n_real]
+        feats = feats[:n_real]
+        if normals is not None:
+            normals = normals[:n_real]
+    return verts, feats, normals, n_real

@@ -43,6 +43,8 @@ class AugmentConfig(NamedTuple):
     p_color_jitter: float = 0.7
     p_border: float = 0.4
     p_distractor: float = 0.0         # tless_aug distractor paste (augment.py:402-418)
+    p_blur: float = 0.5               # AB.GaussianBlur(blur_limit=(1,3)) (augment.py:248,347)
+    p_iso_noise: float = 0.5          # AB.ISONoise() (augment.py:249,348)
     min_mask_sum: float = 200.0       # maskMax analog at our test scales
 
 
@@ -163,6 +165,40 @@ def _line_erode(key, mask, x0, y0, w, h):
     return jnp.where(side > 0, 0.0, mask)
 
 
+def _shift_clamp(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    """Shift by d along axis with edge replication (no wrap-around)."""
+    idx = jnp.clip(jnp.arange(x.shape[axis]) + d, 0, x.shape[axis] - 1)
+    return jnp.take(x, idx, axis=axis)
+
+
+def gaussian_blur3(img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3x3 Gaussian blur with a (traced) sigma — the jittable
+    equivalent of AB.GaussianBlur(blur_limit=(1, 3)) (reference
+    augment.py:248,252,347).  sigma -> 0 degenerates to the identity
+    (kernel size 1)."""
+    w1 = jnp.exp(-0.5 / jnp.maximum(sigma, 1e-3) ** 2)
+    norm = 1.0 + 2.0 * w1
+
+    def conv1d(x, axis):
+        return (x + w1 * (_shift_clamp(x, -1, axis) + _shift_clamp(x, 1, axis))) / norm
+
+    return conv1d(conv1d(img, 0), 1)
+
+
+def iso_noise(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
+    """Sensor/ISO-style noise: shot (Poisson-like, sqrt-of-signal scaled)
+    luma noise + small chroma shift — the jittable analog of AB.ISONoise()
+    (reference augment.py:249,348; defaults color_shift (0.01, 0.05),
+    intensity (0.1, 0.5))."""
+    k_int, k_shift, k_lum, k_col = jax.random.split(key, 4)
+    intensity = jax.random.uniform(k_int, minval=0.1, maxval=0.5)
+    color_shift = jax.random.uniform(k_shift, minval=0.01, maxval=0.05)
+    shot = jnp.sqrt(jnp.clip(img, 0.0, 1.0) + 1e-3)
+    luma = jax.random.normal(k_lum, img.shape[:-1] + (1,)) * intensity * 0.1 * shot.mean(-1, keepdims=True)
+    chroma = jax.random.normal(k_col, img.shape) * color_shift
+    return jnp.clip(img + luma + chroma, 0.0, 1.0)
+
+
 def paste_distractor(key, rgb, mask, dis_rgb, dis_mask, cfg: AugmentConfig):
     """tless_aug distractor paste (augment.py:402-418): composite another
     object's pixels over the image with a random shift, zeroing the
@@ -200,7 +236,7 @@ def augment_view(
     one replaces the smooth-noise background (the reference composites COCO
     images, augment.py:297-314; any image folder works as a stand-in)."""
     S = rgb.shape[0]
-    keys = jax.random.split(key, 14)
+    keys = jax.random.split(key, 18)
     x0, y0, w, h = _mask_bbox(mask)
 
     # --- geometric params (augment.py:329-342)
@@ -248,6 +284,14 @@ def augment_view(
     jittered = jnp.clip(jnp.clip(out, 0, 1) ** gamma * gain + bias, 0.0, 1.0)
     out = jnp.where(jax.random.uniform(keys[10]) < cfg.p_color_jitter, jittered, out)
 
+    # --- photometric sensor passes (augment.py:246-252, 344-348):
+    # Gaussian blur (blur_limit (1, 3)) and ISO noise, each p=0.5
+    sigma = jax.random.uniform(keys[14], minval=0.3, maxval=1.0)
+    blurred = gaussian_blur3(out, sigma)
+    out = jnp.where(jax.random.uniform(keys[15]) < cfg.p_blur, blurred, out)
+    noisy = iso_noise(keys[16], out)
+    out = jnp.where(jax.random.uniform(keys[17]) < cfg.p_iso_noise, noisy, out)
+
     # --- distractor-object paste (augment.py:402-418)
     mask_out = mask_crop_w
     if distractor is not None and cfg.p_distractor > 0:
@@ -272,13 +316,8 @@ augment_batch = jax.jit(
 )
 
 
-def _load_image_dir(dir_path: str, size: int, max_images: int, resample, kind: str):
-    """Shared scaffold for the image-folder banks: sorted scan, resize to
-    (size, size), float32 in [0, 1]."""
+def _list_image_files(dir_path: str, max_images: int, kind: str):
     import os
-
-    import numpy as np
-    from PIL import Image
 
     exts = (".jpg", ".jpeg", ".png", ".bmp")
     files = sorted(
@@ -288,6 +327,16 @@ def _load_image_dir(dir_path: str, size: int, max_images: int, resample, kind: s
     )[:max_images]
     if not files:
         raise ValueError(f"no images found in {kind} dir {dir_path}")
+    return files
+
+
+def _load_image_dir(dir_path: str, size: int, max_images: int, resample, kind: str):
+    """Shared scaffold for the image-folder banks: sorted scan, resize to
+    (size, size), float32 in [0, 1]."""
+    import numpy as np
+    from PIL import Image
+
+    files = _list_image_files(dir_path, max_images, kind)
     return np.stack([
         np.asarray(
             Image.open(f).convert("RGB").resize((size, size), resample),
@@ -310,13 +359,30 @@ def load_distractor_bank(dir_path: str, size: int, max_images: int = 128):
     (N, size, size) masks.  Intended for masked crops of OTHER objects (the
     reference pastes other T-LESS objects' crops, augment.py:402-418), so
     the mask is recovered as the non-black region — exactly the convention
-    of the BOP loader's background-masked crops (data/bop.py).  NEAREST
-    resampling keeps mask edges from bleeding gray."""
+    of the BOP loader's background-masked crops (data/bop.py).
+
+    The mask is computed at NATIVE resolution before any resampling (a
+    NEAREST-resized rgb would alias and true-black pixels inside the object
+    would punch holes); rgb then resizes BICUBIC (like the reference's
+    pasted crops) and the mask NEAREST so its edges stay crisp."""
+    import numpy as np
     from PIL import Image
 
-    rgbs = _load_image_dir(dir_path, size, max_images, Image.NEAREST, "distractor")
-    masks = (rgbs.max(-1) > 1.0 / 255.0).astype(rgbs.dtype)
-    return rgbs, masks
+    rgbs, masks = [], []
+    for f in _list_image_files(dir_path, max_images, "distractor"):
+        im = Image.open(f).convert("RGB")
+        native = np.asarray(im, np.float32) / 255.0
+        m_native = (native.max(-1) > 1.0 / 255.0).astype(np.uint8) * 255
+        rgbs.append(
+            np.asarray(im.resize((size, size), Image.BICUBIC), np.float32) / 255.0
+        )
+        masks.append(
+            np.asarray(
+                Image.fromarray(m_native).resize((size, size), Image.NEAREST),
+                np.float32,
+            ) / 255.0
+        )
+    return np.clip(np.stack(rgbs), 0.0, 1.0), np.stack(masks)
 
 
 def nocs_map(xys: jnp.ndarray, pos_vec: jnp.ndarray, valid: jnp.ndarray, res: int = 224) -> jnp.ndarray:

@@ -14,7 +14,7 @@ S = 64
 
 NO_JITTER = augment.AugmentConfig(
     p_background=0.0, p_occlude=0.0, p_line_erode=0.0, p_color_jitter=0.0, p_border=0.0,
-    min_mask_sum=10.0,
+    p_blur=0.0, p_iso_noise=0.0, min_mask_sum=10.0,
 )
 
 
@@ -91,3 +91,42 @@ def test_select_ray_samples_in_bounds():
     idx = augment.select_ray_samples(jax.random.PRNGKey(0), xys, valid, 128)
     chosen = np.asarray(xys)[np.asarray(idx)]
     assert (np.abs(chosen) < 1.0).all()
+
+
+def test_gaussian_blur3_smooths_and_preserves_mean():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(S, S, 3)), jnp.float32)
+    out = augment.gaussian_blur3(img, jnp.asarray(0.8))
+    # blur reduces high-frequency energy but preserves the mean
+    assert float(jnp.std(out)) < float(jnp.std(img))
+    np.testing.assert_allclose(float(out.mean()), float(img.mean()), atol=2e-3)
+    # sigma -> 0 degenerates to identity (kernel size 1, augment.py:248)
+    ident = augment.gaussian_blur3(img, jnp.asarray(1e-4))
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(img), atol=1e-5)
+
+
+def test_iso_noise_perturbs_in_range():
+    img = jnp.full((S, S, 3), 0.5)
+    out = augment.iso_noise(jax.random.PRNGKey(0), img)
+    d = np.abs(np.asarray(out) - 0.5)
+    assert d.max() > 1e-3          # noise actually applied
+    assert d.mean() < 0.2          # but bounded sensor-scale noise
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_augment_photometric_gates():
+    """p_blur / p_iso_noise = 0 must reproduce the pre-photometric image."""
+    scene = synthetic.make_scene(n_views=1, image_size=S)
+    key = jax.random.PRNGKey(7)
+    base = augment.augment_view(key, scene.images[0], scene.sils[0], NO_JITTER)
+    with_photo = augment.augment_view(
+        key, scene.images[0], scene.sils[0],
+        NO_JITTER._replace(p_blur=1.0, p_iso_noise=1.0),
+    )
+    # same geometric transform (photo passes do not touch A/t or masks)
+    np.testing.assert_allclose(np.asarray(base.A), np.asarray(with_photo.A))
+    np.testing.assert_allclose(
+        np.asarray(base.mask_full), np.asarray(with_photo.mask_full)
+    )
+    # but the rgb differs (blur+noise applied)
+    assert float(jnp.abs(base.rgb - with_photo.rgb).max()) > 1e-3

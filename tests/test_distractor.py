@@ -62,7 +62,7 @@ def test_background_bank_composites_bank_image():
     bank = jnp.full((3, 48, 48, 3), 0.25)
     cfg = augment.AugmentConfig(
         p_background=1.0, p_occlude=0.0, p_line_erode=0.0, p_color_jitter=0.0,
-        p_border=0.0, min_mask_sum=10.0,
+        p_border=0.0, p_blur=0.0, p_iso_noise=0.0, min_mask_sum=10.0,
     )
     out = augment.augment_view(
         jax.random.PRNGKey(0), scene.images[0], scene.sils[0], cfg, bg_bank=bank
