@@ -550,10 +550,12 @@ def cmd_choose_image(args):
     idx = farthest_point_sampling(jnp.asarray(verts, jnp.float32), min(512, verts.shape[0]))
     sub = jnp.asarray(verts, jnp.float32)[idx]
     images, sils, R, t, K, diam = load_data(args, 64)
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
     agree, errs = registration.agreement_matrix(
         jnp.asarray(gt[..., :3, :3], jnp.float32), jnp.asarray(gt[..., :3, 3], jnp.float32),
         jnp.asarray(pr[..., :3, :3], jnp.float32), jnp.asarray(pr[..., :3, 3], jnp.float32),
-        sub, diam,
+        sub, diam, mesh=mesh_lib.auto_mesh(),
     )
     best, top = registration.choose_best_image(np.asarray(agree), top_k=50)
     with open(os.path.join(exp, f"{args.objid}top_50_choices.txt"), "w") as f:

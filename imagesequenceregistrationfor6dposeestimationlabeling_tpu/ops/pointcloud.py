@@ -18,6 +18,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
 _BIG = 1e30
 
 
@@ -34,12 +36,20 @@ def nn_query(
     ref: jnp.ndarray,
     ref_mask: Optional[jnp.ndarray] = None,
     chunk: int = 8192,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest neighbor of each query in ref.  Returns (dist, idx).
 
-    On TPU this dispatches to the fused Pallas kernel (ops/pallas_kernels);
-    the XLA tiling below is the reference implementation / CPU path.
+    With ``mesh``, the QUERY axis shards over the mesh 'data' axis (the
+    SURVEY §2c "sharded point-cloud tiles" plan): each device scans the
+    replicated reference cloud for its slice of queries — embarrassingly
+    parallel, no collective needed (per-query results stay device-local and
+    downstream reductions psum via XLA).  On a single-device TPU this
+    dispatches to the fused Pallas kernel (ops/pallas_kernels); the XLA
+    tiling below is the reference implementation / CPU / sharded path.
     """
+    if mesh is not None:
+        return _nn_query_sharded(query, ref, ref_mask, chunk, mesh)
     if jax.default_backend() == "tpu":
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pallas_kernels
 
@@ -47,8 +57,34 @@ def nn_query(
     return _nn_query_xla(query, ref, ref_mask, chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "mesh"))
+def _nn_query_sharded(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: Optional[jnp.ndarray],
+    chunk: int,
+    mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = query.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = mesh_lib.constrain(q, mesh, (mesh_lib.DATA_AXIS, None))
+    d, i = _nn_query_impl(q, ref, ref_mask, chunk)
+    return d[:n], i[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _nn_query_xla(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    ref_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _nn_query_impl(query, ref, ref_mask, chunk)
+
+
+def _nn_query_impl(
     query: jnp.ndarray,
     ref: jnp.ndarray,
     ref_mask: Optional[jnp.ndarray] = None,
@@ -85,11 +121,13 @@ def chamfer_distance(
     a_mask: Optional[jnp.ndarray] = None,
     b_mask: Optional[jnp.ndarray] = None,
     chunk: int = 8192,
+    mesh=None,
 ) -> jnp.ndarray:
     """Bidirectional mean NN distance / 2 — Open3D-compatible Chamfer
-    (icp.py:113-117, verfication.py:96-102)."""
-    d_ab, _ = nn_query(a, b, b_mask, chunk)
-    d_ba, _ = nn_query(b, a, a_mask, chunk)
+    (icp.py:113-117, verfication.py:96-102).  With ``mesh`` both NN sweeps
+    shard their query axis over the mesh."""
+    d_ab, _ = nn_query(a, b, b_mask, chunk, mesh=mesh)
+    d_ba, _ = nn_query(b, a, a_mask, chunk, mesh=mesh)
     ma = jnp.ones_like(d_ab) if a_mask is None else a_mask.astype(d_ab.dtype)
     mb = jnp.ones_like(d_ba) if b_mask is None else b_mask.astype(d_ba.dtype)
     mean_ab = jnp.sum(d_ab * ma) / jnp.maximum(jnp.sum(ma), 1.0)

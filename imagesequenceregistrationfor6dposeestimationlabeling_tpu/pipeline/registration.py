@@ -34,14 +34,18 @@ def relative_pose_tensor(R: jnp.ndarray, t: jnp.ndarray):
     return rel_R, rel_t
 
 
-@functools.partial(jax.jit, static_argnames=("pair_chunk",))
+@functools.partial(jax.jit, static_argnames=("pair_chunk", "mesh"))
 def agreement_matrix(
-    rel_R_gt, rel_t_gt, rel_R_pred, rel_t_pred, verts, diameter, pair_chunk: int = 64
+    rel_R_gt, rel_t_gt, rel_R_pred, rel_t_pred, verts, diameter, pair_chunk: int = 64,
+    mesh=None,
 ):
     """(N, N) bool: ADD-S of predicted vs GT relative pose < 0.1*diam.
 
     verts should be a modest subsample (<= ~512) — the metric is a
     tolerance check, not a precise distance (choosePose.py:131-135).
+
+    With ``mesh``, each lax.map chunk's pair axis shards over the mesh
+    'data' axis (pair ADD-S evaluations are independent).
     """
     N = rel_R_gt.shape[0]
     V = verts.shape[0]
@@ -63,6 +67,12 @@ def agreement_matrix(
     pad = (-n_pairs) % pair_chunk
     flat = tuple(jnp.pad(f, ((0, pad),) + ((0, 0),) * (f.ndim - 1)) for f in flat)
     chunks = tuple(f.reshape(-1, pair_chunk, *f.shape[1:]) for f in flat)
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
+    chunks = tuple(
+        mesh_lib.constrain(c, mesh, (None, mesh_lib.DATA_AXIS) + (None,) * (c.ndim - 2))
+        for c in chunks
+    )
     errs = jax.lax.map(lambda args: jax.vmap(pair_adds)(*args), chunks)
     errs = errs.reshape(-1)[:n_pairs].reshape(N, N)
     return errs < 0.1 * diameter, errs
@@ -82,7 +92,7 @@ class ICPResult(NamedTuple):
     fitness: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "chunk"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "chunk", "mesh"))
 def icp_point_to_point(
     source: jnp.ndarray,
     target: jnp.ndarray,
@@ -93,24 +103,29 @@ def icp_point_to_point(
     source_mask=None,
     target_mask=None,
     chunk: int = 8192,
+    mesh=None,
 ) -> ICPResult:
     """Open3D registration_icp(PointToPoint) equivalent (icp.py:101-103).
 
     Transform convention: x' = R x + t applied to source.
+
+    With ``mesh``, each iteration's NN sweep shards the source points over
+    the mesh 'data' axis (SURVEY §2c); the Kabsch moment sums reduce over
+    the shards via XLA-inserted psum.
     """
     s_mask = jnp.ones(source.shape[0], bool) if source_mask is None else source_mask
 
     def body(i, carry):
         R, t = carry
         moved = jnp.matmul(source, R.T, precision=jax.lax.Precision.HIGHEST) + t
-        d, idx = pc.nn_query(moved, target, ref_mask=target_mask, chunk=chunk)
+        d, idx = pc.nn_query(moved, target, ref_mask=target_mask, chunk=chunk, mesh=mesh)
         w = (d < threshold) & s_mask
         Rk, tk = rotations.kabsch(moved, target[idx], w.astype(source.dtype))
         return (Rk @ R, Rk @ t + tk)
 
     R, t = jax.lax.fori_loop(0, max_iters, body, (R0, t0))
     moved = jnp.matmul(source, R.T, precision=jax.lax.Precision.HIGHEST) + t
-    d, _ = pc.nn_query(moved, target, ref_mask=target_mask, chunk=chunk)
+    d, _ = pc.nn_query(moved, target, ref_mask=target_mask, chunk=chunk, mesh=mesh)
     inl = (d < threshold) & s_mask
     n_inl = jnp.maximum(inl.sum(), 1)
     rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d * d, 0.0)) / n_inl)
@@ -129,6 +144,7 @@ def register_halves(
     diameter: float,
     icp_threshold: float = 20.0,
     icp_iters: int = 30,
+    mesh="auto",
 ):
     """icp.py:48-126: bring the upper half into the lower/CAD frame.
 
@@ -137,8 +153,14 @@ def register_halves(
     3. point-to-point ICP of actual_upper onto lower,
     4. stack clouds, Chamfer vs the CAD cloud.
 
+    ``mesh="auto"`` shards the ICP/Chamfer NN sweeps over all local devices
+    when more than one is present (SURVEY §2c sharded point-cloud tiles).
     Returns dict with the final transform, chamfer and the merged cloud.
     """
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
     upper_j = jnp.asarray(upper, jnp.float32)
     lower_j = jnp.asarray(lower, jnp.float32)
     actual_upper = upper_j @ jnp.asarray(R_gt_chosen, jnp.float32).T + jnp.asarray(
@@ -148,11 +170,12 @@ def register_halves(
         jnp.asarray(R_pred_chosen, jnp.float32), jnp.asarray(t_pred_chosen, jnp.float32)
     )
     res = icp_point_to_point(
-        actual_upper, lower_j, R_inv, t_inv, icp_threshold, max_iters=icp_iters
+        actual_upper, lower_j, R_inv, t_inv, icp_threshold, max_iters=icp_iters,
+        mesh=mesh,
     )
     moved = actual_upper @ res.R.T + res.t
     merged = jnp.concatenate([moved, lower_j], axis=0)
-    chamfer = pc.chamfer_distance(merged, jnp.asarray(cad_points, jnp.float32))
+    chamfer = pc.chamfer_distance(merged, jnp.asarray(cad_points, jnp.float32), mesh=mesh)
     return {
         "R": np.asarray(res.R),
         "t": np.asarray(res.t),
@@ -164,11 +187,12 @@ def register_halves(
     }
 
 
-@jax.jit
-def _verify_pairs(cloud, R_gt, t_gt, R_pred):
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _verify_pairs(cloud, R_gt, t_gt, R_pred, mesh=None):
     """All n-1 consecutive-pair Chamfer checks in ONE program: a lax.map
     over pairs (sequential per pair to bound HBM at O(V^2) for one pair),
-    replacing n-1 separate ~40-90 ms relay dispatches."""
+    replacing n-1 separate ~40-90 ms relay dispatches.  With ``mesh`` each
+    pair's Chamfer NN sweep shards its point axis over the mesh."""
 
     def pair(args):
         Rg_i, tg_i, Rg_j, tg_j, Rp_i, Rp_j = args
@@ -176,7 +200,7 @@ def _verify_pairs(cloud, R_gt, t_gt, R_pred):
         # rotation-only comparison exactly as verfication.py:83-85
         pc_gt = (cloud @ Rp_i.T) @ rel_R
         pc_pred = cloud @ Rp_j
-        return pc.chamfer_distance(pc_gt, pc_pred)
+        return pc.chamfer_distance(pc_gt, pc_pred, mesh=mesh)
 
     args = (R_gt[:-1], t_gt[:-1], R_gt[1:], t_gt[1:], R_pred[:-1], R_pred[1:])
     return jax.lax.map(pair, args)
@@ -188,16 +212,22 @@ def verify_consecutive(
     t_gt: np.ndarray,
     R_pred: np.ndarray,
     t_pred: np.ndarray,
+    mesh="auto",
 ):
     """verfication.py:59-108: per consecutive image pair, Chamfer between
     the cloud rotated by the GT relative pose vs the predicted next pose.
     Returns (best index, chamfer list)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
     out = np.asarray(
         _verify_pairs(
             jnp.asarray(cloud, jnp.float32),
             jnp.asarray(R_gt, jnp.float32),
             jnp.asarray(t_gt, jnp.float32),
             jnp.asarray(R_pred, jnp.float32),
+            mesh=mesh,
         )
     )
     best = int(np.argmin(out))

@@ -259,6 +259,112 @@ def depth_bounds(t_bop: np.ndarray, margin: float = 2.0):
     return float(z.min() - margin), float(z.max() + margin)
 
 
+def train_nerf_fused(
+    images: np.ndarray,          # (H, N, S, S, 3) stacked half-sequences
+    sils: np.ndarray,            # (H, N, S, S)
+    R_bop: np.ndarray,           # (H, N, 3, 3)
+    t_bop: np.ndarray,           # (H, N, 3)
+    K: np.ndarray,               # (H, N, 3, 3)
+    field: fields.NerfField,
+    render_cfg: RenderConfig = RenderConfig(),
+    train_cfg: NerfTrainConfig = NerfTrainConfig(),
+    n_steps: Optional[int] = None,
+    seed: int = 1,
+    depth_margin: float = 2.0,
+    log_every: int = 0,
+    steps_per_call: int = 25,
+    mesh="auto",
+):
+    """Train H independent NeRFs (one per half-sequence) in ONE device
+    program: the multi-step is vmapped over a leading half axis.
+
+    The reference trains the halves as two fully independent invocations of
+    trainNerfFine.py:221-223 — nothing couples them — so at the reference's
+    tiny per-step compute (3 cams x 400 rays) the serial cost is pure
+    overhead duplication.  Fusing runs both halves' ray batches through the
+    same XLA program; per-step dispatch, scan setup and HBM pipeline
+    bubbles are paid once and the MXU sees twice the work per launch
+    (wall-clock for 2 halves ~= 1 half's).
+
+    Per-half streams exactly match independent ``train_nerf`` runs with
+    ``seed + h`` (same init RNG, batch schedule and per-step keys), so the
+    fused path is drop-in equivalent — tested in test_nerf_training.
+
+    Returns (list of per-half NerfTrainState, (H, n_steps) loss array).
+    """
+    if mesh == "auto":
+        mesh = mesh_lib.auto_mesh()
+    H, n = images.shape[0], images.shape[1]
+    S = images.shape[2]
+    min_d, max_d = depth_bounds(np.asarray(t_bop).reshape(-1, 3), depth_margin)
+
+    # per-half init + camera banks, then stack leaves (image_size is static)
+    states, cams = [], []
+    tx = make_optimizer(train_cfg)
+    for h in range(H):
+        st, _ = init_state(field, train_cfg, jax.random.PRNGKey(seed + h))
+        states.append(st)
+        cams.append(
+            cam_lib.camera_from_bop(
+                jnp.asarray(R_bop[h]), jnp.asarray(t_bop[h]), jnp.asarray(K[h]), S
+            )
+        )
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    cam_all = cam_lib.Camera(
+        jnp.stack([c.R for c in cams]),
+        jnp.stack([c.T for c in cams]),
+        jnp.stack([c.focal for c in cams]),
+        jnp.stack([c.principal for c in cams]),
+        cams[0].image_size,
+    )
+
+    multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh)
+    cam_axes = cam_lib.Camera(0, 0, 0, 0, None)
+    fused = jax.jit(jax.vmap(multi, in_axes=(0, cam_axes, 0, 0, 0, 0)))
+
+    images = jnp.asarray(images)
+    sils = jnp.asarray(sils)
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+        cam_all = mesh_lib.replicate(cam_all, mesh)
+        images = mesh_lib.replicate(images, mesh)
+        sils = mesh_lib.replicate(sils, mesh)
+
+    bs = min(train_cfg.batch_size, n)
+    total = n_steps if n_steps is not None else train_cfg.n_epochs * max(n // bs, 1)
+
+    # per-half epoch-shuffled schedules, identical to train_nerf(seed+h)
+    def half_schedule(h):
+        rng = np.random.default_rng(seed + h)
+        out = []
+        while len(out) < total:
+            perm = rng.permutation(n)
+            for i in range(max(n // bs, 1)):
+                idx = perm[i * bs : i * bs + bs]
+                if len(idx) < bs:
+                    idx = np.concatenate([idx, perm[: bs - len(idx)]])
+                out.append(idx)
+        return np.stack(out[:total])
+
+    all_idx = np.stack([half_schedule(h) for h in range(H)])  # (H, total, bs)
+    keys = [jax.random.PRNGKey(seed + h) for h in range(H)]
+
+    losses = np.zeros((H, 0))
+    spc = max(1, min(steps_per_call, total))
+    done = 0
+    while done < total:
+        k = min(spc, total - done)
+        chunk_idx = jnp.asarray(all_idx[:, done : done + k])  # (H, k, bs)
+        subs = jnp.stack([jax.random.fold_in(kk, done) for kk in keys])
+        state, loss_vec = fused(state, cam_all, images, sils, chunk_idx, subs)
+        losses = np.concatenate([losses, np.asarray(loss_vec)[:, :k]], axis=1)
+        done += k
+        if log_every and done % max(log_every, spc) < spc:
+            print(f"fused step {done}: losses={losses[:, -1].round(4).tolist()}")
+    per_half = [jax.tree.map(lambda x: x[h], state) for h in range(H)]
+    return per_half, losses
+
+
 def train_nerf(
     images: jnp.ndarray,
     sils: jnp.ndarray,
