@@ -382,7 +382,7 @@ def cmd_poses_est(args):
     exp = exp_dir(args)
     pose_d = artifacts.pose_dir(exp, args.objid)
     # padded keys for correspondence (bucketed shapes hit the compile cache)
-    verts, feats, _, _ = artifacts.load_keys(pose_d, trim=False)
+    verts, feats, normals, _ = artifacts.load_keys(pose_d, trim=False)
     images, sils, R, t, K, diam = load_data(args, args.image_size or 224)
 
     cnn = ResNetUNet()
@@ -391,19 +391,11 @@ def cmd_poses_est(args):
     imgs_n = np.asarray(normalize_image(jnp.asarray(images)))
     if args.use_surf_eval:
         # useSurfEval path: SurfEmb hypothesis scoring + refinement
-        # (reference inference.py:324-366)
-        normals = artifacts.load_array(pose_d, "normals_scaled.npy")
-        key = jax.random.PRNGKey(1)
-        Rs, ts = [], []
-        for i in range(imgs_n.shape[0]):
-            key, sub = jax.random.split(key)
-            R_i, t_i, _ = inference.estimate_pose_surfemb(
-                cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(K[i], jnp.float32),
-                jnp.asarray(verts, jnp.float32), jnp.asarray(normals, jnp.float32),
-                jnp.asarray(feats, jnp.float32), diam, sub,
-            )
-            Rs.append(np.asarray(R_i)); ts.append(np.asarray(t_i))
-        pred_R, pred_t = np.stack(Rs), np.stack(ts)
+        # (reference inference.py:324-366), batched — one compiled program
+        # per image batch instead of a per-image dispatch loop
+        pred_R, pred_t, _ = inference.run_sequence_surfemb(
+            cnn, cnn_params, imgs_n, K, verts, normals, feats, diam,
+        )
     else:
         pred_R, pred_t = inference.run_sequence(cnn, cnn_params, imgs_n, sils, K, verts, feats)
     np.save(os.path.join(exp, f"{args.objid}pred_R.npy"), pred_R)
