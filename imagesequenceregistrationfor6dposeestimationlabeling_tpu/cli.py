@@ -475,10 +475,16 @@ def cmd_inference(args):
     for i in ids:
         key, sub = jax.random.split(key)
         if args.use_surf_eval:
+            from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+                mesh as mesh_lib,
+            )
+
+            # single-image path: shard the hypothesis axis over the mesh
             R_i, t_i, _ = inference.estimate_pose_surfemb(
                 cnn, cnn_params, jnp.asarray(imgs_n[i]), jnp.asarray(K[i], jnp.float32),
                 verts_j, jnp.asarray(normals, jnp.float32),
                 jnp.asarray(feats, jnp.float32), diam, sub,
+                hyp_mesh=mesh_lib.auto_mesh(),
             )
             est = inference.PoseEstimate(R_i, t_i, jnp.zeros(()), jnp.ones((), bool), jnp.zeros(()))
         else:

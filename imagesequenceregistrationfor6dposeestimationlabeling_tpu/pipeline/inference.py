@@ -181,10 +181,13 @@ def _surfemb_core(
     refine: bool,
     refine_steps: int,
     translation_only: bool,
+    hyp_mesh=None,
 ):
     """Jittable/vmappable single-image SurfEmb path: CNN -> hypothesis
     sampling + z-buffer scoring -> argmax -> optional gradient refinement.
-    Returns (R (3,3), t (3,), score)."""
+    Returns (R (3,3), t (3,), score).  ``hyp_mesh`` shards the hypothesis
+    axis over the mesh (single-image parallelism; leave None when the
+    caller already shards the image axis)."""
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import (
         pose_est_surf,
         pose_refine,
@@ -201,6 +204,7 @@ def _surfemb_core(
         max_pose_evaluations=cfg.max_pose_evaluations,
         alpha=cfg.alpha,
         dist_2d_min=cfg.dist_2d_min,
+        mesh=hyp_mesh,
     )
     best = jnp.argmax(res.pose_scores)
     R, t = res.R[best], res.t[best]
@@ -227,6 +231,7 @@ def estimate_pose_surfemb(
     refine: bool = True,
     refine_steps: int = 50,
     translation_only: bool = False,
+    hyp_mesh=None,
 ):
     """The reference's ``useSurfEval`` inference path (inference.py:324-366):
     SurfEmb hypothesis sampling + z-buffer scoring (poseEstSurf.py:11-261)
@@ -237,7 +242,7 @@ def estimate_pose_surfemb(
     ``run_sequence_surfemb`` (one compiled program per image batch)."""
     R, t, score = _surfemb_core(
         cnn, cnn_params, image, cam_K, verts, normals, feats, diameter, key,
-        cfg, refine, refine_steps, translation_only,
+        cfg, refine, refine_steps, translation_only, hyp_mesh=hyp_mesh,
     )
     return R, t, float(score)
 

@@ -61,7 +61,7 @@ class SurfEmbResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("down_sample", "max_poses", "max_pose_evaluations", "max_pool"),
+    static_argnames=("down_sample", "max_poses", "max_pose_evaluations", "max_pool", "mesh"),
 )
 def estimate_pose(
     mask_lgts: jnp.ndarray,     # (r, r)
@@ -78,7 +78,24 @@ def estimate_pose(
     alpha: float = 1.5,
     dist_2d_min: float = 0.1,
     max_pool: bool = True,
+    mesh=None,
 ) -> SurfEmbResult:
+    """With ``mesh``, the hypothesis axis (max_poses P3P solves + pruning,
+    then max_pose_evaluations z-buffer scorings) shards over the mesh
+    'data' axis — the SURVEY §2c "batch-parallel pose hypotheses" plan
+    (the reference loops cv2.solveP3P per hypothesis and scores 500 poses
+    at a time on one GPU, poseEstSurf.py:133-144, 244-250).  Both axes
+    must divide the mesh size (the defaults 10000/1000 divide 8)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+        mesh as mesh_lib,
+    )
+
+    def shard_hyp(x):
+        # shard the leading hypothesis axis; no-op without a mesh
+        return mesh_lib.constrain(
+            x, mesh, (mesh_lib.DATA_AXIS,) + (None,) * (x.ndim - 1)
+        )
+
     m, e = obj_keys.shape
     Kd = downsample_K(K, down_sample)
 
@@ -116,9 +133,9 @@ def estimate_pose(
     p3d_idx = corr_idx % m
     yy = p2d_idx // res
     xx = p2d_idx % res
-    p2d = jnp.stack([xx, yy], axis=-1).astype(jnp.float32)  # (P, 4, 2)
-    p3d = obj_pts[p3d_idx]  # (P, 4, 3)
-    n3d = obj_normals[p3d_idx[:, :3]]  # (P, 3, 3)
+    p2d = shard_hyp(jnp.stack([xx, yy], axis=-1).astype(jnp.float32))  # (P, 4, 2)
+    p3d = shard_hyp(obj_pts[p3d_idx])  # (P, 4, 3)
+    n3d = shard_hyp(obj_normals[p3d_idx[:, :3]])  # (P, 3, 3)
 
     # batched P3P + random valid solution (poseEstSurf.py:133-144)
     Rs, ts, valid4 = pnp.solve_p3p_batch(p3d[:, :3], p2d[:, :3], Kd)  # (P, 4, ...)
@@ -143,9 +160,9 @@ def estimate_pose(
     # take the first max_pose_evaluations surviving poses (stable order)
     order = jnp.argsort(~keep, stable=True)  # survivors first
     sel = order[:max_pose_evaluations]
-    R_e = R[sel]
-    t_e = t[sel]
-    valid_e = keep[sel]
+    R_e = shard_hyp(R[sel])
+    t_e = shard_hyp(t[sel])
+    valid_e = shard_hyp(keep[sel])
     P = max_pose_evaluations
 
     # scoring (poseEstSurf.py:182-237)

@@ -126,3 +126,33 @@ def test_scores_separate_good_from_bad(setup):
     bad = valid & (adds > 0.5 * scene.diameter * scale)
     if good.sum() >= 3 and bad.sum() >= 3:
         assert np.median(scores[good]) > np.median(scores[bad])
+
+
+def test_surfemb_hypothesis_axis_sharded_matches(setup):
+    """SURVEY §2c batch-parallel pose hypotheses: sharding the hypothesis
+    axis over the 8-device mesh must not change the result."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+        mesh as mesh_lib,
+    )
+
+    scene, verts, feats, normals, qmap, mask_lgts, scale = setup
+    K_inf = jnp.asarray(scene.K[0]).at[0:2, 2].add(-0.5)
+    args = (
+        mask_lgts, qmap,
+        jnp.asarray(verts, jnp.float32), jnp.asarray(normals, jnp.float32),
+        jnp.asarray(feats, jnp.float32),
+        float(scene.diameter * scale), K_inf, jax.random.PRNGKey(0),
+    )
+    kw = dict(max_poses=1024, max_pose_evaluations=128)
+    res0 = pose_est_surf.estimate_pose(*args, **kw)
+    res1 = pose_est_surf.estimate_pose(*args, **kw, mesh=mesh_lib.make_mesh(8))
+    np.testing.assert_array_equal(np.asarray(res1.valid), np.asarray(res0.valid))
+    np.testing.assert_allclose(np.asarray(res1.R), np.asarray(res0.R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.t), np.asarray(res0.t), atol=1e-5)
+    # scores may differ at fp level (sharded reductions); the ranking of
+    # the best hypothesis must not
+    np.testing.assert_allclose(
+        np.asarray(res1.pose_scores), np.asarray(res0.pose_scores),
+        rtol=1e-3, atol=1e-5,
+    )
+    assert int(jnp.argmax(res1.pose_scores)) == int(jnp.argmax(res0.pose_scores))
