@@ -137,6 +137,42 @@ def view_surface_hits(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts"))
+def views_surface_hits(
+    field,
+    params,
+    cams: cam_lib.Camera,      # (V, ...) camera bank
+    sel_idx: jnp.ndarray,      # (V, M)
+    sel_valid: jnp.ndarray,    # (V, M)
+    mverts_pad: jnp.ndarray,
+    mverts_mask: jnp.ndarray,
+    image_size: int,
+    n_pts: int,
+    min_depth: float,
+    max_depth: float,
+    threshold: float,
+    mesh_dist: float,
+    back_div: float,
+):
+    """ALL views' front+back surface hits in ONE program: a lax.map over
+    the view axis (sequential per view, so HBM stays at one view's
+    footprint) replacing V separate ~40-90 ms relay dispatches.  The
+    reference loops views in Python (generateCors.py:268)."""
+
+    def one(args):
+        R, T, f, p, si, sv = args
+        cam = cam_lib.Camera(R, T, f, p, image_size)
+        return view_surface_hits(
+            field, params, cam, si, sv, mverts_pad, mverts_mask,
+            image_size, n_pts, min_depth, max_depth, threshold, mesh_dist,
+            back_div,
+        )
+
+    return jax.lax.map(
+        one, (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)
+    )
+
+
 def _pad_cloud(verts: np.ndarray, multiple: int = 8192):
     n = verts.shape[0]
     padded = int(np.ceil(max(n, 1) / multiple) * multiple)
@@ -186,9 +222,9 @@ def generate_cors(
     budget = min(S * S, int(np.ceil(max_count / 8192)) * 8192)
 
     n_views = np.asarray(R_bop).shape[0]
-    for i in range(n_views):
-        if artifacts.has_view_rays(cors, S, i):
-            continue  # idempotent skip (generateCors.py:277-278)
+    pending = [i for i in range(n_views) if not artifacts.has_view_rays(cors, S, i)]
+
+    def view_sel(i):
         idx = np.where(sil_flat[i])[0]
         if idx.size == 0:
             idx = np.zeros((1,), np.int64)
@@ -197,32 +233,40 @@ def generate_cors(
         sel[:k] = idx[:k]
         sel_valid = np.zeros((budget,), bool)
         sel_valid[:k] = True
-        out = view_surface_hits(
-            field,
-            params,
-            cam_all[i],
-            jnp.asarray(sel),
-            jnp.asarray(sel_valid),
-            mverts_pad,
-            mverts_mask,
-            S,
-            cfg.grid_pts_per_ray,
-            min_d,
-            max_d,
-            cfg.density_threshold,
-            cfg.mesh_filter_dist,
-            cfg.back_len_div,
-        )
-        fv = np.asarray(out["front_valid"])
-        bv = np.asarray(out["back_valid"])
-        xys = np.asarray(out["xys"])
+        return sel, sel_valid
+
+    def save_view(i, out, v=None):
+        pick = (lambda a: a[v]) if v is not None else (lambda a: a)
+        fv = np.asarray(pick(out["front_valid"]))
+        bv = np.asarray(pick(out["back_valid"]))
+        xys = np.asarray(pick(out["xys"]))
         artifacts.save_view_rays(
-            cors,
-            S,
-            i,
-            xys[fv],
-            np.asarray(out["pos_vec"])[fv],
-            xys[bv],
-            np.asarray(out["back_vec"])[bv],
+            cors, S, i,
+            xys[fv], np.asarray(pick(out["pos_vec"]))[fv],
+            xys[bv], np.asarray(pick(out["back_vec"]))[bv],
         )
+
+    hit_args = (
+        mverts_pad, mverts_mask, S, cfg.grid_pts_per_ray, min_d, max_d,
+        cfg.density_threshold, cfg.mesh_filter_dist, cfg.back_len_div,
+    )
+    if len(pending) == n_views:
+        # fresh run: ALL views in one device program (lax.map over views)
+        sels = np.stack([view_sel(i)[0] for i in pending])
+        vals = np.stack([view_sel(i)[1] for i in pending])
+        out = views_surface_hits(
+            field, params, cam_all, jnp.asarray(sels), jnp.asarray(vals), *hit_args
+        )
+        for v, i in enumerate(pending):
+            save_view(i, out, v)
+    else:
+        # partial resume: per-view programs for just the missing views
+        # (idempotent skip, generateCors.py:277-278)
+        for i in pending:
+            sel, sel_valid = view_sel(i)
+            out = view_surface_hits(
+                field, params, cam_all[i], jnp.asarray(sel), jnp.asarray(sel_valid),
+                *hit_args,
+            )
+            save_view(i, out)
     return cors

@@ -107,3 +107,29 @@ def test_gen_feat_artifacts(cors_run):
     radial = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
     cos = np.sum(normals * radial, -1)
     assert np.median(cos) > 0.3
+
+
+def test_resume_per_view_matches_batched(cors_run):
+    """Deleting one view's dumps and re-running takes the per-view resume
+    path; its artifacts must equal the batched all-views program's."""
+    import os
+    import shutil
+
+    scene, field, cors, out = cors_run
+    orig = artifacts.load_view_rays(cors, S, 2)
+    for sub in (f"{S}_sampledRayxys", f"{S}_posVec",
+                f"{S}_sampledRayBackxys", f"{S}_posVecBack"):
+        os.remove(os.path.join(cors, sub, "2.npy"))
+    assert not artifacts.has_view_rays(cors, S, 2)
+    cfg = CorsConfig(
+        render_size=S, grid_pts_per_ray=96, density_threshold=0.5,
+        mesh_filter_dist=0.1, outlier_nb_points=5, outlier_radius=0.15,
+        n_subsurface=300, normals_k=48,
+    )
+    generate_cors.generate_cors(
+        field, None, scene.R_bop, scene.t_bop, scene.K, scene.sils, out, 1,
+        cfg, grid_res=48,
+    )
+    redone = artifacts.load_view_rays(cors, S, 2)
+    for a, b in zip(orig, redone):
+        np.testing.assert_allclose(a, b, atol=1e-5)
