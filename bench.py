@@ -290,7 +290,16 @@ def main():
 
     runs = []
     for r in range(max(N_RUNS, 1)):
-        runs.append(run_pipeline(halves, r))
+        try:
+            runs.append(run_pipeline(halves, r))
+        except Exception as e:
+            if not runs:
+                raise
+            # keep the completed run(s); a flaky retry must not lose them
+            import sys
+
+            print(f"bench run {r} failed after a complete run: {e}", file=sys.stderr)
+            break
     best = min(runs, key=lambda p: p["elapsed"])
     elapsed = best["elapsed"]
 
