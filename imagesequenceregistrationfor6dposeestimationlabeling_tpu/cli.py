@@ -360,13 +360,20 @@ def cmd_gen_feat(args):
     images, sils, R, t, K, diam = load_data(args, S)
     t = t / (diam / 1.8)
     field, params = _load_field_params(args)
+    # thresholds follow the FIELD, not the data source: the analytic
+    # stand-in has a sharp 0.5-level surface; a trained NeRF uses the
+    # reference's 0.2 hit / 0.05 mesh thresholds (genFeat.py:183,206) —
+    # matching cmd_generate_cors (a short-trained field may never reach
+    # density 0.5 anywhere, which would yield an empty mesh)
+    analytic = params is None
     verts, feats, normals = gen_feat.gen_feat(
         field, params, R, t, K, sils, diam, exp_dir(args), args.objid,
-        FeatConfig(mc_threshold=0.5 if args.synthetic else 0.05,
+        FeatConfig(mc_threshold=0.5 if analytic else 0.05,
                    n_points=8000 if args.image_size else 80000,
-                   sample_loops=3 if args.image_size else 19),
+                   sample_loops=3 if args.image_size else 19,
+                   mesh_dist=0.15 if args.image_size else 0.05),
         image_size=S, grid_res=args.grid_res,
-        threshold=0.5 if args.synthetic else 0.2,
+        threshold=0.5 if analytic else 0.2,
     )
     print(f"baked {verts.shape[0]} surface features -> {exp_dir(args)}")
 

@@ -48,6 +48,11 @@ def nn_query(
     dispatches to the fused Pallas kernel (ops/pallas_kernels); the XLA
     tiling below is the reference implementation / CPU / sharded path.
     """
+    if ref.shape[0] == 0 or query.shape[0] == 0:
+        raise ValueError(
+            f"nn_query: empty cloud (query {query.shape[0]}, ref {ref.shape[0]}) "
+            "— an upstream surface extraction or filter produced no points"
+        )
     if mesh is not None:
         return _nn_query_sharded(query, ref, ref_mask, chunk, mesh)
     if jax.default_backend() == "tpu":

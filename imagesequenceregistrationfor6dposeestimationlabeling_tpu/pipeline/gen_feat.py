@@ -72,6 +72,13 @@ def gen_feat(
 
     grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
     verts_idx, tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.mc_threshold)
+    if verts_idx.shape[0] < 4:
+        raise RuntimeError(
+            f"gen_feat: marching cubes found {verts_idx.shape[0]} vertices at "
+            f"density threshold {cfg.mc_threshold} — the field has no surface "
+            "at this level (undertrained NeRF or wrong threshold for an "
+            "analytic field)"
+        )
     mverts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
     mnormals = mcubes.vertex_normals(mverts, tris)
 
@@ -79,6 +86,12 @@ def gen_feat(
     close = np.asarray(d) < cfg.mesh_dist
     pts = pts[close]
     normals = mnormals[np.asarray(nn_idx)[close]]
+    if pts.shape[0] == 0:
+        raise RuntimeError(
+            f"gen_feat: no surface hits within mesh_dist={cfg.mesh_dist} of the "
+            "marching-cubes mesh — hit threshold and mc_threshold disagree "
+            "about where the surface is"
+        )
 
     n_real = pts.shape[0]
     if cfg.pad_multiple > 1 and n_real > 0:
