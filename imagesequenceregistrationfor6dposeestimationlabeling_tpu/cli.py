@@ -208,7 +208,13 @@ def cmd_generate_cors(args):
     cfg = CorsConfig(density_threshold=0.5 if params is None else 0.2)
     if args.image_size:
         import dataclasses
-        cfg = dataclasses.replace(cfg, render_size=args.image_size, grid_pts_per_ray=96)
+        # smoke scale: short-trained NeRFs have fuzzier surfaces — loosen
+        # the denoising filters like the other smoke-scale stages
+        cfg = dataclasses.replace(
+            cfg, render_size=args.image_size, grid_pts_per_ray=96,
+            mesh_filter_dist=0.15, outlier_nb_points=4, outlier_radius=0.2,
+            n_subsurface=200, normals_k=48,
+        )
     images, sils, R, t, K, diam = load_data(args, cfg.render_size)
     t = t / (diam / 1.8)
     cors = generate_cors.generate_cors(

@@ -55,6 +55,14 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     mverts_j = jnp.asarray(mverts, jnp.float32)
     keep = pc.radius_outlier_mask(mverts_j, cfg.outlier_nb_points, cfg.outlier_radius)
     mverts = np.asarray(mverts)[np.asarray(keep)]
+    if mverts.shape[0] < 10:
+        raise RuntimeError(
+            f"surface denoising kept {mverts.shape[0]} of {keep.shape[0]} vertices "
+            f"(radius-outlier nb_points={cfg.outlier_nb_points}, "
+            f"radius={cfg.outlier_radius}) — the extracted surface is too sparse "
+            "for these filters (train the NeRF longer or loosen the smoke-scale "
+            "filters)"
+        )
     mverts_j = jnp.asarray(mverts, jnp.float32)
     n_sub = min(cfg.n_subsurface, mverts.shape[0])
     sub, normals, _ = pc.subsample_surface(mverts_j, n_sub, normals_k=min(cfg.normals_k, n_sub))
