@@ -119,6 +119,12 @@ def make_train_step(
     s = train_cfg.loss_scale
     hs = train_cfg.huber_scaling
     n_dev = mesh.devices.size if mesh is not None else 1
+    # remat trades ~1.3x compute for O(chunk) memory; at the reference's
+    # tiny ray batch (1.2k rays) the activations fit HBM outright, so the
+    # recompute is pure overhead — keep remat only when a step actually
+    # processes multiple chunks (large-batch path)
+    total_rays = train_cfg.batch_size * render_cfg.n_rays_per_image
+    remat = total_rays > ray_chunk
 
     def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
         pc, pf = params_pair
@@ -173,7 +179,7 @@ def make_train_step(
                 [((ce_c + ce_f) * v).sum(), ((se_c + se_f) * v).sum(), v.sum()]
             )
 
-        body = jax.checkpoint(chunk_body)
+        body = jax.checkpoint(chunk_body) if remat else chunk_body
 
         def scan_fn(carry, inp):
             o_c, d_c, l_c, col_c, sil_c, val_c, kk = inp
