@@ -88,6 +88,40 @@ def render_coarse_fine(
     return coarse_img, fine_img, bundle.xys
 
 
+def freeze_fine_bundle(
+    coarse_fn: Callable,
+    cam: Camera,
+    key: jax.Array,
+    n_rays: int,
+    n_pts_coarse: int,
+    n_pts_fine: int,
+    min_depth,
+    max_depth,
+    add_input_samples: bool = True,
+) -> RayBundle:
+    """The ``rayFreeze`` knob (pren.py:127-129, 200-239) made functional.
+
+    The reference's stateful renderer samples rays + importance-resamples
+    once on the first call, stores them as ``self.frozenRays`` and reuses
+    the stored bundle on every later call (skipping the raysampler and the
+    coarse pass).  The JAX equivalent is explicit: call this once to get
+    the frozen bundle (coarse pass under stop_gradient, exactly the
+    reference's ``torch.no_grad`` at pren.py:203), then re-feed it to
+    ``render_bundle`` for each subsequent render.
+    """
+    k_rays, k_pdf = jax.random.split(key)
+    bundle = monte_carlo_rays(cam, n_rays, n_pts_coarse, min_depth, max_depth, k_rays)
+    _, coarse_w = render_bundle(
+        lambda p, d, m: jax.tree.map(jax.lax.stop_gradient, coarse_fn(p, d, m)),
+        bundle, mode="color",
+    )
+    z_fine = raymarch.importance_resample(
+        bundle.lengths, coarse_w, n_pts_fine, k_pdf,
+        det=False, add_input_samples=add_input_samples,
+    )
+    return bundle._replace(lengths=z_fine)
+
+
 def masked_ray_indices(silhouette: jnp.ndarray, n_rays: int, key: jax.Array):
     """Sample a fixed number of pixel indices inside a silhouette.
 

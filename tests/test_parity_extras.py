@@ -41,3 +41,43 @@ def test_render_depth_picks_surface():
     bundle = RayBundle(jnp.zeros((1, 3)), jnp.zeros((1, 3)), lengths, jnp.zeros((1, 2)))
     d = renderer.render_depth(bundle, weights)
     np.testing.assert_allclose(float(d[0]), float(lengths[0, 5]), atol=1e-6)
+
+
+def _toy_field(pts, dirs, mode):
+    """Analytic blob field: density peaks at the origin, constant color."""
+    d2 = jnp.sum(pts**2, axis=-1, keepdims=True)
+    dens = jnp.exp(-4.0 * d2)
+    col = jnp.broadcast_to(jnp.asarray([0.2, 0.5, 0.8]), pts.shape[:-1] + (3,))
+    return dens, col
+
+
+def test_freeze_fine_bundle_reuse_matches_coarse_fine():
+    """rayFreeze parity (pren.py:127-129, 200-243): the frozen bundle is the
+    importance-resampled fine bundle of the FIRST call; re-feeding it to
+    render_bundle gives identical renders on every later call."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+
+    R = jnp.eye(3)[None]
+    t = jnp.asarray([[0.0, 0.0, 3.0]])
+    S = 16
+    K = jnp.asarray([[[2.0 * S, 0.0, S / 2], [0.0, 2.0 * S, S / 2], [0.0, 0.0, 1.0]]])
+    cam = cam_lib.camera_from_bop(R, t, K, S)
+    key = jax.random.PRNGKey(0)
+
+    frozen = renderer.freeze_fine_bundle(
+        _toy_field, cam, key, n_rays=32, n_pts_coarse=8, n_pts_fine=16,
+        min_depth=2.0, max_depth=4.0,
+    )
+    # same rays/keys as the unfrozen coarse+fine path -> same fine render
+    _, fine_img, xys = renderer.render_coarse_fine(
+        _toy_field, _toy_field, cam, key, n_rays=32, n_pts_coarse=8,
+        n_pts_fine=16, min_depth=2.0, max_depth=4.0,
+    )
+    img1, _ = renderer.render_bundle(_toy_field, frozen, mode="color")
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(fine_img), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frozen.xys), np.asarray(xys), atol=1e-6)
+    # "later calls": the frozen bundle is plain data -- rendering it again
+    # (as the reference's self.frozenRays reuse does) is bit-identical
+    img2, _ = renderer.render_bundle(_toy_field, frozen, mode="color")
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert frozen.lengths.shape[-1] == 8 + 16  # add_input_samples concat
