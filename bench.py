@@ -227,12 +227,13 @@ def run_pipeline(halves, run_id: int):
     # prefix in ADD means, ICP least-squares and Chamfer means
     verts_real, _, _, n_real = artifacts.load_keys(artifacts.pose_dir(exp0, 1))
     verts_j = jnp.asarray(verts_real, jnp.float32)
-    adds = [
-        float(metrics.add_metric(
-            verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
-            jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
-        for i in range(n_inf)
-    ]
+    # one batched program for all images (a per-image Python loop costs a
+    # ~40-90 ms relay dispatch each)
+    adds = np.asarray(jax.jit(jax.vmap(metrics.add_metric, in_axes=(None, 0, 0, 0, 0)))(
+        verts_j, jnp.asarray(scene1.R_bop[:n_inf]),
+        jnp.asarray(scene1.t_bop[:n_inf]) * scale,
+        jnp.asarray(pred_R), jnp.asarray(pred_t),
+    )).tolist()
     correct = int(sum(a < 0.1 * diam * scale for a in adds))
     t_inf = time.perf_counter()
 
@@ -373,12 +374,11 @@ def quality_main():
         verts, feats, cfg=InferenceConfig(), batch=min(8, n_infer),
     )
     verts_j = jnp.asarray(verts[:n_real], jnp.float32)
-    adds = [
-        float(metrics.add_metric(
-            verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
-            jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
-        for i in range(n_infer)
-    ]
+    adds = np.asarray(jax.jit(jax.vmap(metrics.add_metric, in_axes=(None, 0, 0, 0, 0)))(
+        verts_j, jnp.asarray(scene1.R_bop[:n_infer]),
+        jnp.asarray(scene1.t_bop[:n_infer]) * scale,
+        jnp.asarray(pred_R), jnp.asarray(pred_t),
+    )).tolist()
     thresh = 0.1 * diam * scale
     correct = int(sum(a < thresh for a in adds))
     median = float(np.median(adds))
