@@ -66,7 +66,8 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     mverts_j = jnp.asarray(mverts, jnp.float32)
     n_sub = min(cfg.n_subsurface, mverts.shape[0])
     sub, normals, _ = pc.subsample_surface(mverts_j, n_sub, normals_k=min(cfg.normals_k, n_sub))
-    return mverts, np.asarray(sub), np.asarray(normals)
+    sub, normals = jax.device_get((sub, normals))  # one round-trip, not two
+    return mverts, sub, normals
 
 
 @functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts"))
@@ -259,12 +260,15 @@ def generate_cors(
         cfg.density_threshold, cfg.mesh_filter_dist, cfg.back_len_div,
     )
     if len(pending) == n_views:
-        # fresh run: ALL views in one device program (lax.map over views)
+        # fresh run: ALL views in one device program (lax.map over views),
+        # then ONE device->host fetch of the whole result — per-view
+        # np.asarray compaction would cost 5 arrays x V views of ~50 ms
+        # relay round-trips each (seconds of pure dispatch per half)
         sels = np.stack([view_sel(i)[0] for i in pending])
         vals = np.stack([view_sel(i)[1] for i in pending])
-        out = views_surface_hits(
+        out = jax.device_get(views_surface_hits(
             field, params, cam_all, jnp.asarray(sels), jnp.asarray(vals), *hit_args
-        )
+        ))
         for v, i in enumerate(pending):
             save_view(i, out, v)
     else:
@@ -272,9 +276,9 @@ def generate_cors(
         # (idempotent skip, generateCors.py:277-278)
         for i in pending:
             sel, sel_valid = view_sel(i)
-            out = view_surface_hits(
+            out = jax.device_get(view_surface_hits(
                 field, params, cam_all[i], jnp.asarray(sel), jnp.asarray(sel_valid),
                 *hit_args,
-            )
+            ))
             save_view(i, out)
     return cors

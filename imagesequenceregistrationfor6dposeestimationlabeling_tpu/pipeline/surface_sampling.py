@@ -115,7 +115,7 @@ def sample_surface_hits(
     n_views = np.asarray(R_bop).shape[0]
     sils_j = jnp.asarray(sils)
     key = jax.random.PRNGKey(seed)
-    all_hits = []
+    outs = []
     for loop in range(n_loops):
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, n_views)
@@ -123,8 +123,11 @@ def sample_surface_hits(
             field, params, cam_all, sils_j, keys,
             rays_per_image, n_pts, S, min_d, max_d, threshold,
         )
-        v = np.asarray(valid).reshape(-1)
-        all_hits.append(np.asarray(hits).reshape(-1, 3)[v])
-    if not all_hits:
+        # async dispatch: queue every loop's program, fetch once below —
+        # a per-loop np.asarray would sync 2 x n_loops relay round-trips
+        outs.append((hits, valid))
+    if not outs:
         return np.zeros((0, 3), np.float32)
+    outs = jax.device_get(outs)
+    all_hits = [h.reshape(-1, 3)[v.reshape(-1)] for h, v in outs]
     return np.concatenate(all_hits, axis=0)

@@ -355,7 +355,7 @@ def train_nerf_fused(
     all_idx = np.stack([half_schedule(h) for h in range(H)])  # (H, total, bs)
     keys = [jax.random.PRNGKey(seed + h) for h in range(H)]
 
-    losses = np.zeros((H, 0))
+    loss_parts = []
     spc = max(1, min(steps_per_call, total))
     done = 0
     while done < total:
@@ -363,10 +363,13 @@ def train_nerf_fused(
         chunk_idx = jnp.asarray(all_idx[:, done : done + k])  # (H, k, bs)
         subs = jnp.stack([jax.random.fold_in(kk, done) for kk in keys])
         state, loss_vec = fused(state, cam_all, images, sils, chunk_idx, subs)
-        losses = np.concatenate([losses, np.asarray(loss_vec)[:, :k]], axis=1)
+        # keep losses on device: a per-call np.asarray would sync one relay
+        # round-trip per program AND stall the async dispatch queue
+        loss_parts.append(loss_vec[:, :k])
         done += k
         if log_every and done % max(log_every, spc) < spc:
-            print(f"fused step {done}: losses={losses[:, -1].round(4).tolist()}")
+            print(f"fused step {done}: losses={np.asarray(loss_vec)[:, k - 1].round(4).tolist()}")
+    losses = np.concatenate(jax.device_get(loss_parts), axis=1)
     per_half = [jax.tree.map(lambda x: x[h], state) for h in range(H)]
     return per_half, losses
 
@@ -446,7 +449,7 @@ def train_nerf(
 
     images = jnp.asarray(images)
     sils = jnp.asarray(sils)
-    losses = []
+    loss_parts = []
     spc = max(1, min(steps_per_call, total))
     done = int(np.asarray(jax.device_get(state.step)))
     while done < total:
@@ -459,9 +462,11 @@ def train_nerf(
         # exact RNG stream the uninterrupted run would have used
         sub = jax.random.fold_in(key, done)
         state, loss_vec = multi(state, cam_all, images, sils, jnp.asarray(chunk_idx), sub)
-        losses.extend(np.asarray(loss_vec)[:k].tolist())
+        # device-side accumulation: per-call np.asarray would sync a relay
+        # round-trip per program and stall the async dispatch queue
+        loss_parts.append(loss_vec[:k])
         if log_every and (done // spc) % max(log_every // spc, 1) == 0:
-            print(f"step {done + k}: loss={losses[-1]:.4f}")
+            print(f"step {done + k}: loss={float(loss_vec[k - 1]):.4f}")
         done += k
         # periodic checkpoint hook, snapped to multi-step boundaries
         # (the reference saves 'latest' every 100 iters, trainNerfFine.py:227)
@@ -469,6 +474,9 @@ def train_nerf(
             done % max(train_cfg.ckpt_every, spc) < spc or done >= total
         ):
             on_checkpoint(state, done)
+    losses = (
+        np.concatenate(jax.device_get(loss_parts)).tolist() if loss_parts else []
+    )
     return state, losses
 
 

@@ -429,7 +429,7 @@ def train_pose(
     rng = np.random.default_rng(seed)
     all_idx = np.stack([rng.permutation(n)[:bs] if n >= bs else
                         np.resize(rng.permutation(n), bs) for _ in range(n_steps)])
-    losses = []
+    loss_parts = []
     spc = max(1, min(steps_per_call, n_steps))
     # checkpoint/log cadence must land on program boundaries
     if on_checkpoint is not None:
@@ -443,10 +443,15 @@ def train_pose(
         # exact RNG stream of the uninterrupted one
         sub = jax.random.fold_in(key, done)
         state, loss_vec = multi(state, images, sils, ray_bank, neg_j, jnp.asarray(chunk_idx), sub)
-        losses.extend(np.asarray(loss_vec)[:k].tolist())
+        # device-side accumulation: per-call np.asarray would sync a relay
+        # round-trip per program and stall the async dispatch queue
+        loss_parts.append(loss_vec[:k])
         done += k
         if log_every and (done // spc) % max(log_every // spc, 1) == 0:
-            print(f"pose step {done}: loss={losses[-1]:.5f}")
+            print(f"pose step {done}: loss={float(loss_vec[k - 1]):.5f}")
         if on_checkpoint is not None and (done % cfg.ckpt_every < spc or done >= n_steps):
             on_checkpoint(state, done)
+    losses = (
+        np.concatenate(jax.device_get(loss_parts)).tolist() if loss_parts else []
+    )
     return state, cnn, losses
