@@ -84,6 +84,26 @@ N_RUNS = int(os.environ.get("BENCH_RUNS", 2))
 # BENCH_SMALL=1: CPU-smoke scale (small field, 48^2 crops, 48^3 grid) —
 # validates the bench WIRING without TPU; never use for recorded numbers
 SMALL = bool(os.environ.get("BENCH_SMALL"))
+# NeRF activation storage dtype (see FieldConfig.act_dtype): bf16 halves
+# the train step's HBM residual traffic (~8% faster at equal losses and a
+# passing Chamfer — EXPERIMENTS.md round 3); BENCH_ACT_DTYPE=float32 reverts.
+ACT_DTYPE = os.environ.get("BENCH_ACT_DTYPE", "bfloat16")
+
+_ADD_BATCH = None
+
+
+def _add_metric_batch():
+    """Module-level jit: one compile per process, reused across runs (a
+    fresh jax.jit per run would re-trace and re-dispatch a compile through
+    the relay every run)."""
+    global _ADD_BATCH
+    if _ADD_BATCH is None:
+        import jax as _jax
+
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics
+
+        _ADD_BATCH = _jax.jit(_jax.vmap(metrics.add_metric, in_axes=(None, 0, 0, 0, 0)))
+    return _ADD_BATCH
 IMG = int(os.environ.get("BENCH_IMG", 48 if SMALL else 224))
 GRID = int(os.environ.get("BENCH_GRID", 48 if SMALL else 128))
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
@@ -128,7 +148,9 @@ def run_pipeline(halves, run_id: int):
     scale = diam / 1.8
 
     if SMALL:
-        field = fields.NerfField(FieldConfig(n_harmonic_functions=8, n_hidden=48))
+        field = fields.NerfField(
+            FieldConfig(n_harmonic_functions=8, n_hidden=48, act_dtype=ACT_DTYPE)
+        )
         render_cfg = RenderConfig(
             n_rays_per_image=min(NERF_RAYS, 192), n_pts_coarse=32, n_pts_fine=48
         )
@@ -138,7 +160,7 @@ def run_pipeline(halves, run_id: int):
             n_subsurface=200, normals_k=48,
         )
     else:
-        field = fields.NerfField(FieldConfig())
+        field = fields.NerfField(FieldConfig(act_dtype=ACT_DTYPE))
         render_cfg = RenderConfig(n_rays_per_image=NERF_RAYS)
         cors_cfg = CorsConfig(density_threshold=0.2)
 
@@ -229,7 +251,7 @@ def run_pipeline(halves, run_id: int):
     verts_j = jnp.asarray(verts_real, jnp.float32)
     # one batched program for all images (a per-image Python loop costs a
     # ~40-90 ms relay dispatch each)
-    adds = np.asarray(jax.jit(jax.vmap(metrics.add_metric, in_axes=(None, 0, 0, 0, 0)))(
+    adds = np.asarray(_add_metric_batch()(
         verts_j, jnp.asarray(scene1.R_bop[:n_inf]),
         jnp.asarray(scene1.t_bop[:n_inf]) * scale,
         jnp.asarray(pred_R), jnp.asarray(pred_t),
@@ -374,7 +396,7 @@ def quality_main():
         verts, feats, cfg=InferenceConfig(), batch=min(8, n_infer),
     )
     verts_j = jnp.asarray(verts[:n_real], jnp.float32)
-    adds = np.asarray(jax.jit(jax.vmap(metrics.add_metric, in_axes=(None, 0, 0, 0, 0)))(
+    adds = np.asarray(_add_metric_batch()(
         verts_j, jnp.asarray(scene1.R_bop[:n_infer]),
         jnp.asarray(scene1.t_bop[:n_infer]) * scale,
         jnp.asarray(pred_R), jnp.asarray(pred_t),

@@ -45,10 +45,13 @@ def main():
         np.stack([np.asarray(getattr(s, f)) for s in halves])
         for f in ("images", "sils", "R_bop", "t_bop", "K")
     )
-    field = fields.NerfField(FieldConfig())
+    act = os.environ.get("ACT_DTYPE", "float32")
+    field = fields.NerfField(FieldConfig(act_dtype=act))
     cfg = NerfTrainConfig(warmup_steps=min(300, max(STEPS // 3, 1)))
+    print(f"act_dtype={act}")
 
-    for spc in (50, 200, 100):
+    spcs = (50,) if os.environ.get("SPC_ONLY50") else (50, 200, 100)
+    for spc in spcs:
         best = float("inf")
         for rep in range(2):
             t0 = time.perf_counter()

@@ -29,6 +29,12 @@ class FieldConfig:
     # MXU compute dtype for the MLP matmuls (params/activations stay fp32;
     # bf16 matmul with fp32 accumulation is ~4x faster on v5e)
     compute_dtype: str = "bfloat16"
+    # storage dtype for inter-layer activations (embeddings, trunk/color
+    # hiddens).  The train step is HBM-bound at the reference schedule —
+    # ~1M point-evals/step store multi-GB fp32 residuals for backprop;
+    # "bfloat16" halves that traffic.  Nonlinearities still compute in
+    # fp32 and the density head + final rgb/sigma outputs stay fp32.
+    act_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,16 +135,24 @@ class NerfField(nn.Module):
             self.feat1 = nn.Dense(c.n_hidden, dtype=dt)
             self.feat2 = nn.Dense(c.feature_dim, dtype=dt)
 
+    def _act(self, x):
+        """Nonlinearity in fp32, stored in cfg.act_dtype (the tensors kept
+        for backprop are the HBM cost at ~1M point-evals per step)."""
+        y = softplus_beta(x.astype(jnp.float32), self.cfg.softplus_beta)
+        return y.astype(jnp.dtype(self.cfg.act_dtype))
+
     def embed(self, pts):
-        return harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0)
+        e = harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0)
+        return e.astype(jnp.dtype(self.cfg.act_dtype))
 
     def trunk(self, embeds):
-        # matmuls in bf16, nonlinearity in fp32
-        h = softplus_beta(self.trunk1(embeds).astype(jnp.float32), self.cfg.softplus_beta)
-        return softplus_beta(self.trunk2(h).astype(jnp.float32), self.cfg.softplus_beta)
+        # matmuls in bf16, nonlinearity in fp32, storage in act_dtype
+        h = self._act(self.trunk1(embeds))
+        return self._act(self.trunk2(h))
 
     def density_from_trunk(self, h):
-        raw = softplus_beta(self.density_layer(h), self.cfg.softplus_beta)
+        # density head + opacity map stay fp32 (tiny, precision-sensitive)
+        raw = softplus_beta(self.density_layer(h.astype(jnp.float32)), self.cfg.softplus_beta)
         return 1.0 - jnp.exp(-raw)
 
     def density(self, pts):
@@ -165,7 +173,7 @@ class NerfField(nn.Module):
             d_emb = d_emb[..., None, :]
         d_emb = jnp.broadcast_to(d_emb, h.shape[:-1] + d_emb.shape[-1:])
         x = jnp.concatenate([h, d_emb], axis=-1)
-        x = softplus_beta(self.color1(x).astype(jnp.float32), self.cfg.softplus_beta)
+        x = self._act(self.color1(x))
         return jax.nn.sigmoid(self.color2(x).astype(jnp.float32))
 
     def features(self, pts):
