@@ -115,6 +115,43 @@ class Siren(nn.Module):
         )(h)
 
 
+class DirSplitDense(nn.Module):
+    """The color head's input layer: Dense over ``concat([h, d_emb])``
+    evaluated as two matmuls, with the view-direction contribution
+    computed once per ray and broadcast over the ray's samples.
+
+    Owns the EXACT param tree of ``nn.Dense(features)`` on the concat
+    (kernel ``(n_hidden + emb_dim, features)``, bias ``(features,)``) so
+    existing checkpoints load unchanged; only the contraction order
+    differs: ``concat([h, d]) @ W == h @ W[:nh] + d @ W[nh:]``.  The
+    reference broadcasts the ray's direction embedding to every sample
+    before the concat (nerf.py:236-246), which makes the direction part
+    an ``(R*P, 360) @ (360, F)`` matmul — at P=384 samples/ray that is
+    ~30% of the field's forward FLOPs recomputing a per-ray quantity
+    P times.  Here the d-part is ``(R, 360) @ (360, F)``.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, d_emb):
+        nh = h.shape[-1]
+        in_dim = nh + d_emb.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        k = kernel.astype(self.dtype)
+        hpart = h.astype(self.dtype) @ k[:nh]
+        dpart = d_emb.astype(self.dtype) @ k[nh:] + bias.astype(self.dtype)
+        # h may carry an extra per-ray-sample dim; broadcast the per-ray
+        # direction contribution over it (nerf.py:236-246 semantics)
+        while dpart.ndim < hpart.ndim:
+            dpart = dpart[..., None, :]
+        return hpart + dpart
+
+
 class NerfField(nn.Module):
     """Radiance field; pure function of points (and view dirs for color)."""
 
@@ -127,7 +164,9 @@ class NerfField(nn.Module):
         self.trunk2 = nn.Dense(c.n_hidden, dtype=dt)
         # density head stays fp32: it is tiny and precision-sensitive
         self.density_layer = nn.Dense(1, bias_init=nn.initializers.constant(c.density_bias))
-        self.color1 = nn.Dense(c.n_hidden, dtype=dt)
+        # same param tree as nn.Dense on the 616-wide concat, but the
+        # per-ray direction contribution is computed once per ray
+        self.color1 = DirSplitDense(c.n_hidden, dtype=dt)
         self.color2 = nn.Dense(3, dtype=dt)
         if c.siren:
             self.feature_layer = Siren(c.n_hidden, 2, c.feature_dim)
@@ -168,12 +207,9 @@ class NerfField(nn.Module):
         h = self.trunk(embeds)
         d = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
         d_emb = self.embed(d)
-        # view dirs are per-ray; points may have an extra per-ray-point dim
-        while d_emb.ndim < h.ndim:
-            d_emb = d_emb[..., None, :]
-        d_emb = jnp.broadcast_to(d_emb, h.shape[:-1] + d_emb.shape[-1:])
-        x = jnp.concatenate([h, d_emb], axis=-1)
-        x = self._act(self.color1(x))
+        # view dirs are per-ray; points may have an extra per-ray-point dim —
+        # DirSplitDense broadcasts the per-ray contribution over it
+        x = self._act(self.color1(h, d_emb))
         return jax.nn.sigmoid(self.color2(x).astype(jnp.float32))
 
     def features(self, pts):
