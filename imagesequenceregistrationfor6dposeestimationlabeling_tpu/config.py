@@ -35,6 +35,9 @@ class FieldConfig:
     # "bfloat16" halves that traffic.  Nonlinearities still compute in
     # fp32 and the density head + final rgb/sigma outputs stay fp32.
     act_dtype: str = "float32"
+    # fused Pallas kernel for the color-mode train eval (ops/field_kernel.py):
+    # None = auto (on for real TPU, off for CPU where interpret mode is slow)
+    fused_kernel: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,420 @@
+"""Fused Pallas TPU kernel for the NeRF field's color-mode fwd+bwd.
+
+The field MLP is ~70% of the fused NeRF train step (EXPERIMENTS.md
+"field MLP share"); at the step's point load XLA spends ~37 ms/iter of
+which ~15 ms is the harmonic embedding's sin/cos and several ms are HBM
+round-trips for the wide intermediates (the (N, 360) embedding alone is
+~0.7 GB/step).  This kernel evaluates embed -> trunk -> density head ->
+color head in ONE pass per ray tile with every intermediate in VMEM:
+
+* the harmonic embedding (nerf.py:106-144) never touches HBM — the
+  angle matrix is a tiny (3, 180) matmul and sin/cos feed the trunk
+  matmuls directly from registers,
+* the trunk/color matmuls (nerf.py:172-189) run in bf16 on the MXU with
+  fp32 accumulation; the ``concat([sin, cos]) @ W`` contraction is split
+  into two matmuls so no lane-dim concat is ever materialized,
+* the view-direction contribution of the color head is computed ONCE
+  PER RAY and broadcast over the ray's samples (see
+  models/fields.py:DirSplitDense — same algebra, (R, 180) instead of
+  (R*P, 360)),
+* the backward pass is a second Pallas kernel over the same tiles that
+  accumulates all parameter gradients across the sequential grid in fp32
+  VMEM scratch-outputs; softplus'/sigmoid' are recovered from the STORED
+  post-activations (softplus_beta(x) = h  =>  sigmoid(beta*x) =
+  1 - exp(-beta*h)), so no pre-activations are stored,
+* points and view directions carry NO gradient (ray lengths are
+  stop_gradient'd in the train step, trainNerfFine.py:294-296 detach
+  semantics) — the custom VJP returns zeros for them and the wrapper
+  stop_gradients both inputs so the zeros are never consumed.
+
+Residuals stored for backward (all bf16): h1, h2, c1 (the three hidden
+post-activations) and the sin/cos embedding blocks (storing them is
+~0.7 ms of HBM vs ~13 ms to recompute the transcendentals).
+
+Numerics match ``NerfField.apply(..., mode='color')`` with
+``compute_dtype=bfloat16`` to bf16 tolerance; gradients are emitted in
+fp32 (slightly MORE precise than the flax path, whose grads pass through
+a bf16 cast).  Parity + gradient tests: tests/test_field_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_PTS = 1024  # target points per grid step (R_tile = _TILE_PTS // P)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def enabled(cfg) -> bool:
+    """Use the fused kernel for training?  Auto: only on real TPU (the
+    interpret-mode kernel is much slower than plain XLA on CPU)."""
+    flag = getattr(cfg, "fused_kernel", None)
+    if flag is None:
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
+def _freq_matrix(n_harmonic: int, omega0: float) -> np.ndarray:
+    """(3, 3*n_harmonic) f32 with F[d, d*n+f] = omega0 * 2^f — so
+    ``pts @ F`` reproduces nerf.py:135-144's d-major angle layout."""
+    freqs = omega0 * (2.0 ** np.arange(n_harmonic, dtype=np.float32))
+    F = np.zeros((3, 3 * n_harmonic), np.float32)
+    for d in range(3):
+        F[d, d * n_harmonic : (d + 1) * n_harmonic] = freqs
+    return F
+
+
+def _angles(x, fm):
+    """(N, 3) x (3, 3H) -> (N, 3H) harmonic angles, EXACTLY.
+
+    fm has exactly one nonzero per column, so this is an elementwise
+    broadcast-multiply-add in full f32.  A jnp.dot here would go through
+    the MXU at default precision (bf16-level, measured rel err 4.7e-3) —
+    at freq 0.1*2^59 that is an absolute angle error of ~1e14 and the
+    high-frequency sin/cos become unrelated to the flax path's.
+    """
+    return (x[:, 0:1] * fm[0:1, :] + x[:, 1:2] * fm[1:2, :]
+            + x[:, 2:3] * fm[2:3, :])
+
+
+def _softplus_b(x, beta):
+    # explicit stable softplus: jax.nn.softplus carries a custom_jvp
+    # (logaddexp) whose closed_call trips jax 0.9.0's cached MLIR
+    # lowering when the kernel body is vmapped
+    y = x * beta
+    return (jnp.maximum(y, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(y)))) / beta
+
+
+def _sig_from_act(h, beta):
+    """sigmoid(beta*x) recovered from h = softplus_beta(x)."""
+    return 1.0 - jnp.exp(-beta * h)
+
+
+# ------------------------------------------------------------- forward
+
+
+def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
+                w2_ref, b2_ref, wd_ref, bd_ref, wc1h_ref, wc1ds_ref,
+                wc1dc_ref, bc1_ref, wc2_ref, bc2_ref,
+                dens_ref, rgb_ref, h1_ref, h2_ref, c1_ref, es_ref, ec_ref,
+                *, beta):
+    Rt, P, _ = pts_ref.shape
+    N = Rt * P
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    x = pts_ref[:].reshape(N, 3)
+    ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
+    es = jnp.sin(ang).astype(bf)
+    ec = jnp.cos(ang).astype(bf)
+    es_ref[:] = es.reshape(Rt, P, -1)
+    ec_ref[:] = ec.reshape(Rt, P, -1)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
+                     + b1_ref[:], beta)
+    h1b = h1.astype(bf)
+    h1_ref[:] = h1b.reshape(Rt, P, -1)
+
+    h2 = _softplus_b(mm(h1b, w2_ref[:].astype(bf)) + b2_ref[:], beta)
+    h2b = h2.astype(bf)
+    h2_ref[:] = h2b.reshape(Rt, P, -1)
+
+    # density head stays fp32 (models/fields.py density_from_trunk)
+    raw = _softplus_b(jnp.dot(h2, wd_ref[:], preferred_element_type=f32)
+                      + bd_ref[:], beta)
+    dens_ref[:] = (1.0 - jnp.exp(-raw)).reshape(Rt, P, 1)
+
+    # per-ray view-direction contribution (DirSplitDense algebra);
+    # dirs arrive PRE-NORMALIZED: the normalization must happen in XLA
+    # with the exact flax expression — an ulp-level divide difference
+    # (Mosaic's reciprocal-based divide) is amplified by the top
+    # harmonic frequency (0.1*2^59) into a completely different phase
+    angd = _angles(dirs_ref[:].reshape(Rt, 3), fmat_ref[:])         # (Rt, 3H)
+    dsb = jnp.sin(angd).astype(bf)
+    dcb = jnp.cos(angd).astype(bf)
+    dpart = (mm(dsb, wc1ds_ref[:].astype(bf)) + mm(dcb, wc1dc_ref[:].astype(bf))
+             + bc1_ref[:])                                          # (Rt, C)
+    c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
+                     + dpart[:, None, :], beta)                     # (Rt, P, C)
+    c1b = c1.astype(bf)
+    c1_ref[:] = c1b
+    rgb = jax.nn.sigmoid(mm(c1b.reshape(N, -1), wc2_ref[:].astype(bf))
+                         + bc2_ref[:])
+    rgb_ref[:] = rgb.reshape(Rt, P, 3)
+
+
+# ------------------------------------------------------------ backward
+
+
+def _bwd_kernel(pts_ref, dirs_ref, fmat_ref, w2_ref, wd_ref, wc1h_ref,
+                wc2_ref, h1_ref, h2_ref, c1_ref, es_ref, ec_ref,
+                dens_ref, rgb_ref, gdens_ref, grgb_ref,
+                dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
+                dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
+                dwc2_ref, dbc2_ref,
+                *, beta):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for r in (dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
+                  dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
+                  dwc2_ref, dbc2_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    Rt, P, _ = pts_ref.shape
+    N = Rt * P
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def c_pt(a, b):  # contract over the point axis: (N,A),(N,B)->(A,B)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def c_feat(a, b):  # (N,A),(B,A)->(N,B): a @ b^T without materializing
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    h1b = h1_ref[:].reshape(N, -1)
+    h2b = h2_ref[:].reshape(N, -1)
+    c1b = c1_ref[:].reshape(N, -1)
+    rgb = rgb_ref[:].reshape(N, 3)
+    grgb = grgb_ref[:].reshape(N, 3)
+    dens = dens_ref[:].reshape(N, 1)
+    gdens = gdens_ref[:].reshape(N, 1)  # (rt, P, 1) block
+
+    # color output layer
+    dc2p = grgb * rgb * (1.0 - rgb)                                # (N, 3) f32
+    dc2pb = dc2p.astype(bf)
+    dwc2_ref[:] += c_pt(c1b, dc2pb)
+    dbc2_ref[:] += jnp.sum(dc2p, 0, keepdims=True)
+    dc1 = c_feat(dc2pb, wc2_ref[:].astype(bf))                     # (N, C)
+    dc1p = dc1 * _sig_from_act(c1b.astype(f32), beta)
+    dc1pb = dc1p.astype(bf)
+    dwc1h_ref[:] += c_pt(h2b, dc1pb)
+    dbc1_ref[:] += jnp.sum(dc1p, 0, keepdims=True)
+
+    # per-ray direction-part gradients (recompute the tiny dir embedding)
+    ddpart = jnp.sum(dc1p.reshape(Rt, P, -1), 1)                   # (Rt, C)
+    angd = _angles(dirs_ref[:].reshape(Rt, 3), fmat_ref[:])  # pre-normalized
+    dwc1ds_ref[:] += c_pt(jnp.sin(angd).astype(bf), ddpart.astype(bf))
+    dwc1dc_ref[:] += c_pt(jnp.cos(angd).astype(bf), ddpart.astype(bf))
+
+    dh2 = c_feat(dc1pb, wc1h_ref[:].astype(bf))                    # (N, C)
+
+    # density head (fp32): dens = 1 - exp(-softplus_b(u));
+    # d dens/du = (1-dens) * sigmoid(beta*u) = (1-dens) * (1-(1-dens)^beta)
+    one_m = 1.0 - dens
+    du = gdens * one_m * (1.0 - jnp.exp(beta * jnp.log1p(-dens)))  # (N, 1)
+    dwd_ref[:] += c_pt(h2b.astype(f32), du)
+    dbd_ref[:] += jnp.sum(du, 0, keepdims=True)
+    dh2 = dh2 + jax.lax.dot_general(du, wd_ref[:], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+
+    # trunk
+    dh2p = dh2 * _sig_from_act(h2b.astype(f32), beta)
+    dh2pb = dh2p.astype(bf)
+    dw2_ref[:] += c_pt(h1b, dh2pb)
+    db2_ref[:] += jnp.sum(dh2p, 0, keepdims=True)
+    dh1 = c_feat(dh2pb, w2_ref[:].astype(bf))                      # @ W2^T
+    dh1p = dh1 * _sig_from_act(h1b.astype(f32), beta)
+    dh1pb = dh1p.astype(bf)
+    es = es_ref[:].reshape(N, -1)
+    ec = ec_ref[:].reshape(N, -1)
+    dw1s_ref[:] += c_pt(es, dh1pb)
+    dw1c_ref[:] += c_pt(ec, dh1pb)
+    db1_ref[:] += jnp.sum(dh1p, 0, keepdims=True)
+
+
+# ------------------------------------------------------------- wrapper
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
+    """Builds the custom-VJP'd op (weights..., pts, dirs) -> (dens, rgb).
+
+    weights: w1s, w1c (3H, C) f32; b1, b2, bc1 (1, C) f32; w2, wc1h (C, C);
+    wd (C, 1); bd (1, 1); wc1ds, wc1dc (3H, C); wc2 (C, 3); bc2 (1, 3).
+    pts (R, P, 3) f32, dirs (R, 3) f32.  No gradient flows to pts/dirs.
+    """
+    fmat = _freq_matrix(n_harmonic, omega0)
+
+    def _grids(R, P):
+        rt = max(1, _TILE_PTS // P)
+        rt = min(rt, R)
+        pad = (-R) % rt
+        return rt, (R + pad) // rt, pad
+
+    def fwd_call(weights, pts, dirs):
+        (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
+         bc2) = weights
+        R, P, _ = pts.shape
+        C = w2.shape[0]
+        H3 = w1s.shape[0]
+        rt, n_tiles, pad = _grids(R, P)
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
+            dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+        Rp = R + pad
+        row3 = lambda i: (i, 0, 0)
+        full = lambda i: (0, 0)
+        # Mosaic requires the last-two block dims be (8, 128)-divisible or
+        # full — a (rt, 3) dirs block with rt<8 violates that, so the
+        # per-ray dirs are pre-grouped to (n_tiles, rt, 3) and blocked on
+        # the leading (tile) dim instead
+        dirs_g = dirs.reshape(n_tiles, rt, 3)
+        outs = pl.pallas_call(
+            functools.partial(_fwd_kernel, beta=beta),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((rt, P, 3), row3),        # pts
+                pl.BlockSpec((1, rt, 3), row3),        # dirs (grouped)
+                pl.BlockSpec(fmat.shape, full),        # fmat
+                pl.BlockSpec(w1s.shape, full), pl.BlockSpec(w1c.shape, full),
+                pl.BlockSpec(b1.shape, full),
+                pl.BlockSpec(w2.shape, full), pl.BlockSpec(b2.shape, full),
+                pl.BlockSpec(wd.shape, full), pl.BlockSpec(bd.shape, full),
+                pl.BlockSpec(wc1h.shape, full), pl.BlockSpec(wc1ds.shape, full),
+                pl.BlockSpec(wc1dc.shape, full), pl.BlockSpec(bc1.shape, full),
+                pl.BlockSpec(wc2.shape, full), pl.BlockSpec(bc2.shape, full),
+            ],
+            out_specs=[
+                pl.BlockSpec((rt, P, 1), row3),        # dens
+                pl.BlockSpec((rt, P, 3), row3),        # rgb
+                pl.BlockSpec((rt, P, C), row3),        # h1
+                pl.BlockSpec((rt, P, C), row3),        # h2
+                pl.BlockSpec((rt, P, C), row3),        # c1
+                pl.BlockSpec((rt, P, H3), row3),       # es
+                pl.BlockSpec((rt, P, H3), row3),       # ec
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Rp, P, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Rp, P, 3), jnp.float32),
+                jax.ShapeDtypeStruct((Rp, P, C), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Rp, P, C), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Rp, P, C), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
+                jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(pts, dirs_g, jnp.asarray(fmat), w1s, w1c, b1, w2, b2, wd, bd,
+          wc1h, wc1ds, wc1dc, bc1, wc2, bc2)
+        return outs, (pts, dirs)  # padded versions
+
+    @jax.custom_vjp
+    def op(weights, pts, dirs):
+        R = pts.shape[0]
+        outs, _ = fwd_call(weights, pts, dirs)
+        return outs[0][:R], outs[1][:R]
+
+    def op_fwd(weights, pts, dirs):
+        R = pts.shape[0]
+        outs, (pts_p, dirs_p) = fwd_call(weights, pts, dirs)
+        dens, rgb, h1, h2, c1, es, ec = outs
+        res = (weights, pts_p, dirs_p, h1, h2, c1, es, ec, dens, rgb, R)
+        return (dens[:R], rgb[:R]), res
+
+    def op_bwd(res, g):
+        weights, pts_p, dirs_p, h1, h2, c1, es, ec, dens, rgb, R = res
+        (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
+         bc2) = weights
+        gdens, grgb = g
+        Rp, P, _ = dens.shape
+        C = w2.shape[0]
+        H3 = w1s.shape[0]
+        if Rp > R:
+            gdens = jnp.pad(gdens, ((0, Rp - R), (0, 0), (0, 0)))
+            grgb = jnp.pad(grgb, ((0, Rp - R), (0, 0), (0, 0)))
+        rt, n_tiles, _ = _grids(Rp, P)
+        row3 = lambda i: (i, 0, 0)
+        full = lambda i: (0, 0)
+        dirs_g = dirs_p.reshape(n_tiles, rt, 3)  # see fwd_call comment
+        grads = pl.pallas_call(
+            functools.partial(_bwd_kernel, beta=beta),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((rt, P, 3), row3),        # pts
+                pl.BlockSpec((1, rt, 3), row3),        # dirs (grouped)
+                pl.BlockSpec(fmat.shape, full),        # fmat
+                pl.BlockSpec(w2.shape, full), pl.BlockSpec(wd.shape, full),
+                pl.BlockSpec(wc1h.shape, full), pl.BlockSpec(wc2.shape, full),
+                pl.BlockSpec((rt, P, C), row3),        # h1
+                pl.BlockSpec((rt, P, C), row3),        # h2
+                pl.BlockSpec((rt, P, C), row3),        # c1
+                pl.BlockSpec((rt, P, H3), row3),       # es
+                pl.BlockSpec((rt, P, H3), row3),       # ec
+                pl.BlockSpec((rt, P, 1), row3),        # dens
+                pl.BlockSpec((rt, P, 3), row3),        # rgb
+                pl.BlockSpec((rt, P, 1), row3),        # gdens
+                pl.BlockSpec((rt, P, 3), row3),        # grgb
+            ],
+            out_specs=[pl.BlockSpec(s, full) for s in (
+                (H3, C), (H3, C), (1, C), (C, C), (1, C), (C, 1), (1, 1),
+                (C, C), (H3, C), (H3, C), (1, C), (C, 3), (1, 3))],
+            out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in (
+                (H3, C), (H3, C), (1, C), (C, C), (1, C), (C, 1), (1, 1),
+                (C, C), (H3, C), (H3, C), (1, C), (C, 3), (1, 3))],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(pts_p, dirs_g, jnp.asarray(fmat), w2, wd, wc1h, wc2, h1, h2, c1,
+          es, ec, dens, rgb, gdens, grgb)
+        (dw1s, dw1c, db1, dw2, db2, dwd, dbd, dwc1h, dwc1ds, dwc1dc, dbc1,
+         dwc2, dbc2) = grads
+        dweights = (dw1s, dw1c, db1, dw2, db2, dwd, dbd, dwc1h, dwc1ds,
+                    dwc1dc, dbc1, dwc2, dbc2)
+        return (dweights, jnp.zeros_like(pts_p[:R]), jnp.zeros_like(dirs_p[:R]))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def field_color(params, pts, dirs, cfg, interpret: bool | None = None):
+    """Fused-kernel equivalent of ``field.apply(params, pts, dirs, 'color')``
+    for ``NerfField`` (models/fields.py): returns (dens (R, P, 1),
+    rgb (R, P, 3)), both fp32.
+
+    Differentiable wrt ``params`` only — pts/dirs are stop_gradient'd
+    (ray geometry carries no parameter dependence in the train step).
+    """
+    pr = params["params"]
+    H = cfg.n_harmonic_functions
+    w1 = pr["trunk1"]["kernel"]
+    w2 = pr["trunk2"]["kernel"]
+    wd = pr["density_layer"]["kernel"]
+    wc1 = pr["color1"]["kernel"]
+    wc2 = pr["color2"]["kernel"]
+    nh = w2.shape[0]
+    weights = (
+        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
+        w2, pr["trunk2"]["bias"][None, :],
+        wd, pr["density_layer"]["bias"][None, :],
+        wc1[:nh], wc1[nh : nh + 3 * H], wc1[nh + 3 * H :],
+        pr["color1"]["bias"][None, :],
+        wc2, pr["color2"]["bias"][None, :],
+    )
+    if interpret is None:
+        interpret = _interpret_default()
+    op = _make_op(float(cfg.softplus_beta), int(H), float(cfg.omega0),
+                  bool(interpret))
+    # normalize in XLA with the EXACT flax expression (models/fields.py
+    # color()): in-kernel division rounds differently at ulp level, and
+    # the top harmonic frequency amplifies an ulp into an O(1) phase shift
+    dn = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dens, rgb = op(weights, jax.lax.stop_gradient(pts),
+                   jax.lax.stop_gradient(dn))
+    return dens, rgb

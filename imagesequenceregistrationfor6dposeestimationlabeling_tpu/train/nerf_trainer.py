@@ -37,6 +37,7 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
 )
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops.grid_sample import (
     sample_images_at_mc_locs,
 )
@@ -125,6 +126,16 @@ def make_train_step(
     # processes multiple chunks (large-batch path)
     total_rays = train_cfg.batch_size * render_cfg.n_rays_per_image
     remat = total_rays > ray_chunk
+    # fused Pallas field eval (embed->trunk->heads in VMEM) on real TPU;
+    # the flax path stays for CPU (interpret-mode pallas is slower there)
+    # and for >1-device meshes (XLA's auto-SPMD cannot partition the
+    # custom call — the sharded path keeps the flax eval)
+    use_kernel = field_kernel.enabled(field.cfg) and n_dev == 1
+
+    def eval_color(params, pts, dirs):
+        if use_kernel:
+            return field_kernel.field_color(params, pts, dirs, field.cfg)
+        return field.apply(params, pts, dirs, "color")
 
     def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
         pc, pf = params_pair
@@ -157,14 +168,14 @@ def make_train_step(
 
         def chunk_body(pc, pf, o, d, l, col, sil, valid, kk):
             pts = o[:, None, :] + d[:, None, :] * l[:, :, None]
-            dens_c, rgb_c = field.apply(pc, pts, d, "color")
+            dens_c, rgb_c = eval_color(pc, pts, d)
             img_c, w_c = raymarch.composite(dens_c[..., 0], rgb_c)
             z_f = raymarch.importance_resample(
                 l, jax.lax.stop_gradient(w_c), Pf, kk, det=False,
                 add_input_samples=render_cfg.add_input_samples,
             )
             pts_f = o[:, None, :] + d[:, None, :] * z_f[:, :, None]
-            dens_f, rgb_f = field.apply(pf, pts_f, d, "color")
+            dens_f, rgb_f = eval_color(pf, pts_f, d)
             img_f, _ = raymarch.composite(dens_f[..., 0], rgb_f)
 
             def err(img):

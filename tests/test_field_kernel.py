@@ -1,0 +1,159 @@
+"""Fused Pallas field kernel vs the flax NerfField (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
+
+
+def _setup(n_harmonic=8, n_hidden=32, R=7, P=5, seed=0):
+    cfg = FieldConfig(n_harmonic_functions=n_harmonic, n_hidden=n_hidden,
+                      act_dtype="bfloat16")
+    field = fields.NerfField(cfg)
+    params = fields.init_field(field, jax.random.PRNGKey(seed))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+    pts = jax.random.normal(k1, (R, P, 3)) * 0.5
+    dirs = jax.random.normal(k2, (R, 3))
+    return cfg, field, params, pts, dirs
+
+
+def test_forward_matches_flax():
+    cfg, field, params, pts, dirs = _setup()
+    dens_k, rgb_k = field_kernel.field_color(params, pts, dirs, cfg,
+                                             interpret=True)
+    dens_f, rgb_f = field.apply(params, pts, dirs, "color")
+    assert dens_k.shape == dens_f.shape and rgb_k.shape == rgb_f.shape
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_f),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_forward_pads_ragged_ray_count():
+    # R not divisible by the ray tile exercises the pad/slice path
+    cfg, field, params, pts, dirs = _setup(R=3, P=field_kernel._TILE_PTS // 2)
+    dens_k, rgb_k = field_kernel.field_color(params, pts, dirs, cfg,
+                                             interpret=True)
+    dens_f, rgb_f = field.apply(params, pts, dirs, "color")
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_f),
+                               atol=2e-2, rtol=2e-2)
+
+
+def _loss_weights(mode_fn, params, pts, dirs):
+    dens, rgb = mode_fn(params, pts, dirs)
+    # mix both heads so every weight matrix gets a gradient
+    return (jnp.sum(dens * 0.7) + jnp.sum(rgb * jnp.cos(rgb))) / pts.shape[0]
+
+
+def test_gradients_match_flax():
+    cfg, field, params, pts, dirs = _setup(R=6, P=9, seed=3)
+
+    def loss_k(p):
+        return _loss_weights(
+            lambda p, x, d: field_kernel.field_color(p, x, d, cfg,
+                                                     interpret=True),
+            p, pts, dirs)
+
+    def loss_f(p):
+        return _loss_weights(
+            lambda p, x, d: field.apply(p, x, d, "color"), p, pts, dirs)
+
+    vk, gk = jax.value_and_grad(loss_k)(params)
+    vf, gf = jax.value_and_grad(loss_f)(params)
+    assert np.allclose(float(vk), float(vf), atol=2e-2, rtol=2e-2)
+    flat_k = jax.tree_util.tree_leaves_with_path(gk)
+    gf_flat = dict(jax.tree_util.tree_leaves_with_path(gf))
+    checked = 0
+    for path, leaf_k in flat_k:
+        leaf_f = gf_flat[path]
+        name = jax.tree_util.keystr(path)
+        if "feature_layer" in name:
+            # feature head is untouched by color mode: both must be zero
+            assert float(jnp.abs(leaf_k).max()) == 0.0
+            assert float(jnp.abs(leaf_f).max()) == 0.0
+            continue
+        scale = max(float(jnp.abs(leaf_f).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(leaf_k, np.float32) / scale,
+            np.asarray(leaf_f, np.float32) / scale,
+            atol=3e-2, err_msg=name)
+        checked += 1
+    assert checked >= 10  # trunk1/2, density, color1/2 kernels + biases
+
+
+def test_no_gradient_to_points():
+    cfg, field, params, pts, dirs = _setup(R=4, P=6)
+
+    def loss(pts, dirs):
+        dens, rgb = field_kernel.field_color(params, pts, dirs, cfg,
+                                             interpret=True)
+        return jnp.sum(dens) + jnp.sum(rgb)
+
+    gp, gd = jax.grad(loss, argnums=(0, 1))(pts, dirs)
+    assert float(jnp.abs(gp).max()) == 0.0
+    assert float(jnp.abs(gd).max()) == 0.0
+
+
+def test_vmapped_over_halves():
+    """The fused trainer vmaps the step over the half axis."""
+    cfg, field, p0, pts, dirs = _setup(R=6, P=9, seed=0)
+    p1 = fields.init_field(field, jax.random.PRNGKey(9))
+    params = jax.tree.map(lambda *x: jnp.stack(x), p0, p1)
+    pts2 = jnp.stack([pts, pts * 0.5 + 0.1])
+    dirs2 = jnp.stack([dirs, dirs[::-1]])
+
+    def one(p, x, d):
+        return _loss_weights(
+            lambda p, x, d: field_kernel.field_color(p, x, d, cfg,
+                                                     interpret=True),
+            p, x, d)
+
+    def loss(params):
+        return jax.vmap(one)(params, pts2, dirs2).sum()
+
+    g = jax.grad(loss)(params)
+    # per-half grads must equal the unbatched computation's
+    for h, (ph, xh, dh) in enumerate(((p0, pts, dirs),
+                                      (p1, pts2[1], dirs2[1]))):
+        g_ref = jax.grad(lambda p: one(p, xh, dh))(ph)
+        for (path, lk), (_, lr) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.tree.map(lambda x: x[h], g)),
+            jax.tree_util.tree_leaves_with_path(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lk, np.float32), np.asarray(lr, np.float32),
+                atol=1e-4, err_msg=f"half {h} {jax.tree_util.keystr(path)}")
+
+
+def test_under_scan_and_remat():
+    cfg, field, params, pts, dirs = _setup(R=6, P=9)
+
+    def step(p):
+        dens, rgb = field_kernel.field_color(p, pts, dirs, cfg,
+                                             interpret=True)
+        return jnp.sum(rgb) + jnp.sum(dens)
+
+    def loss(p):
+        def body(c, _):
+            return c + jax.checkpoint(step)(p), None
+        out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=3)
+        return out
+
+    g = jax.grad(loss)(params)
+    # NOTE: grad(3*step) would push a 3.0 cotangent through the kernel's
+    # bf16 casts (round(3x) != 3*round(x)); scale outside the graph instead
+    g_ref = jax.tree.map(lambda x: 3.0 * x, jax.grad(step)(params))
+    for (path, lk), (_, lr) in zip(
+        jax.tree_util.tree_leaves_with_path(g),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lk, np.float32), np.asarray(lr, np.float32),
+            atol=1e-4, err_msg=jax.tree_util.keystr(path))
