@@ -122,15 +122,14 @@ def main():
     report("full", full_grad, (nerf_params, cnn_params),
            (images, sils, pos_vec, xys, valid, neg_pts))
 
-    # --- augmentation only
+    # --- augmentation only, FORWARD cost (the real step never backprops
+    # through the warps: images are constants); p only feeds the RNG path
     def aug_grad(params, images, sils, key):
-        def loss(p):
-            aug = jax.vmap(aug_lib.augment_view, in_axes=(0, 0, 0, None, None, None))(
-                jax.random.split(key, B), images + p, sils, aug_cfg, None, None)
-            return aug.rgb.sum() * 1e-6
-        return jax.grad(loss)(params)
+        aug = jax.vmap(aug_lib.augment_view, in_axes=(0, 0, 0, None, None, None))(
+            jax.random.split(key, B), images, sils, aug_cfg, None, None)
+        return params + aug.rgb.sum() * 1e-9  # scalar "grad" carrying a data dep
 
-    report("aug-only", aug_grad, jnp.zeros(()), (images, sils))
+    report("aug-fwd", aug_grad, jnp.zeros(()), (images, sils))
 
     # --- CNN only
     def cnn_grad(params, images, key):
@@ -141,10 +140,10 @@ def main():
     report("cnn-only", cnn_grad, cnn_params, (images,))
 
     # --- keys + InfoNCE only
-    q_fake = jnp.asarray(rng.normal(size=(B, cfg.sample_size, 12)), jnp.float32)
+    q_fake = jnp.asarray(rng.normal(size=(B, min(cfg.sample_size, 512), 12)), jnp.float32)
     def keys_grad(params, pos, key):
         def loss(p):
-            sel_pos = pos[:, : cfg.sample_size]
+            sel_pos = pos[:, : min(cfg.sample_size, 512)]
             keys = field.apply(p, sel_pos, method=field.features)
             k_pick, k_jit = jax.random.split(key)
             neg_idx = jax.random.randint(k_pick, (B, cfg.sample_size), 0, neg_pts.shape[0])

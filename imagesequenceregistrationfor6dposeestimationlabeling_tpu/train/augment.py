@@ -101,6 +101,76 @@ def _bilinear_sample(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     return top * (1 - ty) + bot * ty
 
 
+def warp_all_ndc(rgb: jnp.ndarray, mask_full: jnp.ndarray, mask_crop: jnp.ndarray,
+                 A: jnp.ndarray, t: jnp.ndarray):
+    """The three augment warps (bilinear rgb + two nearest masks) in ONE
+    gather.
+
+    TPU gathers cost ~4.5 ms + ~0.7 ms/channel at the (16, 224, 224)
+    batch (EXPERIMENTS.md "augmentation decomposition"), so the six
+    separate gathers of three ``warp_affine_ndc`` calls (4 bilinear taps
+    + 2 nearest) dominate the descriptor train step.  Here the source is
+    pre-packed so channel c of the gathered value carries tap (dy, dx) of
+    source plane p — one gather at the bilinear base (y0, x0) fetches
+    every tap of every plane; bilinear lerp weights and the nearest-tap
+    selection (nearest index == base + (frac >= 0.5), exactly) are then
+    pure VPU math.  Per-tap validity is applied post-gather from the
+    UNCLIPPED coordinates, reproducing ``warp_affine_ndc``'s
+    out-of-bounds zeroing bit-for-bit.
+    """
+    S = rgb.shape[0]
+    src = jnp.concatenate([rgb, mask_full[..., None], mask_crop[..., None]], -1)
+    C = src.shape[-1]
+    # Z[y+1, x+1] = src[y, x], zero beyond; taps reach (y0+1, x0+1)+1
+    Z = jnp.pad(src, ((1, 2), (1, 2), (0, 0)))
+    packed = jnp.concatenate(
+        [Z[:-1, :-1], Z[:-1, 1:], Z[1:, :-1], Z[1:, 1:]], axis=-1
+    )  # (S+2, S+2, 4C): tap order (0,0), (0,+1x), (+1y,0), (+1y,+1x)
+
+    ii = jnp.arange(S, dtype=jnp.float32) + 0.5
+    py, px = jnp.meshgrid(ii, ii, indexing="ij")
+    ux = 1.0 - 2.0 * px / S
+    uy = 1.0 - 2.0 * py / S
+    u_out = jnp.stack([ux, uy], axis=-1)
+    A_inv = jnp.linalg.inv(A)
+    u_in = (u_out - t) @ A_inv.T
+    px_in = (1.0 - u_in[..., 0]) * S / 2.0
+    py_in = (1.0 - u_in[..., 1]) * S / 2.0
+
+    x = px_in - 0.5
+    y = py_in - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    gx = jnp.clip(x0i + 1, 0, S + 1)
+    gy = jnp.clip(y0i + 1, 0, S + 1)
+    g = packed[gy, gx]                                   # ONE gather (S, S, 4C)
+
+    def vmask(ix, iy):
+        return ((ix >= 0) & (ix < S) & (iy >= 0) & (iy < S)).astype(src.dtype)[..., None]
+
+    v00 = g[..., 0 * C : 1 * C] * vmask(x0i, y0i)
+    v01 = g[..., 1 * C : 2 * C] * vmask(x0i + 1, y0i)
+    v10 = g[..., 2 * C : 3 * C] * vmask(x0i, y0i + 1)
+    v11 = g[..., 3 * C : 4 * C] * vmask(x0i + 1, y0i + 1)
+
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    rgb_w = (top * (1 - ty) + bot * ty)[..., :3]
+
+    # nearest tap: floor(p) == base + (frac >= 0.5) for both axes
+    right = tx >= 0.5
+    down = ty >= 0.5
+    near = jnp.where(
+        down, jnp.where(right, v11, v10), jnp.where(right, v01, v00)
+    )
+    return rgb_w, near[..., 3], near[..., 4]
+
+
 def warp_affine_ndc(img: jnp.ndarray, A: jnp.ndarray, t: jnp.ndarray, nearest: bool = False):
     """Warp so that content at NDC u appears at u' = A u + t.
 
@@ -262,10 +332,9 @@ def augment_view(
         (jax.random.uniform(keys[6]) < cfg.p_line_erode) & (m2.sum() > cfg.min_mask_sum), m2, occluded
     )
 
-    # --- warp
-    rgb_w = warp_affine_ndc(rgb, A, t_ndc)
-    mask_full_w = warp_affine_ndc(mask, A, t_ndc, nearest=True)
-    mask_crop_w = warp_affine_ndc(occluded, A, t_ndc, nearest=True)
+    # --- warp: all three planes in one packed gather (six gathers' worth
+    # of taps; see warp_all_ndc)
+    rgb_w, mask_full_w, mask_crop_w = warp_all_ndc(rgb, mask, occluded, A, t_ndc)
 
     # --- background composite (augment.py:297-314, 370-374)
     if bg_bank is not None:

@@ -130,3 +130,29 @@ def test_augment_photometric_gates():
     )
     # but the rgb differs (blur+noise applied)
     assert float(jnp.abs(base.rgb - with_photo.rgb).max()) > 1e-3
+
+
+def test_warp_all_matches_separate_warps():
+    """warp_all_ndc (one packed gather) == three warp_affine_ndc calls."""
+    import jax
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import augment as aug
+
+    key = jax.random.PRNGKey(0)
+    S = 31
+    rgb = jax.random.uniform(key, (S, S, 3))
+    mask = (jax.random.uniform(jax.random.PRNGKey(1), (S, S)) > 0.5).astype(jnp.float32)
+    occ = (jax.random.uniform(jax.random.PRNGKey(2), (S, S)) > 0.3).astype(jnp.float32)
+    for seed in range(4):
+        k = jax.random.PRNGKey(10 + seed)
+        theta = float(jax.random.uniform(k)) * 6.28
+        c, s = np.cos(theta), np.sin(theta)
+        A = (0.5 + seed * 0.4) * jnp.asarray([[c, -s], [s, c]])
+        t = jnp.asarray([0.3 * (seed - 1.5), -0.2 * seed])
+        rgb_w, mf_w, mc_w = aug.warp_all_ndc(rgb, mask, occ, A, t)
+        rgb_ref = aug.warp_affine_ndc(rgb, A, t)
+        mf_ref = aug.warp_affine_ndc(mask, A, t, nearest=True)
+        mc_ref = aug.warp_affine_ndc(occ, A, t, nearest=True)
+        np.testing.assert_allclose(np.asarray(rgb_w), np.asarray(rgb_ref), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mf_w), np.asarray(mf_ref))
+        np.testing.assert_array_equal(np.asarray(mc_w), np.asarray(mc_ref))
