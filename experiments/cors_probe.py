@@ -50,7 +50,7 @@ def main():
     for it in range(2):
         t0 = time.perf_counter()
         grid = renderer.density_grid(jit_dens, grid_res=GRID)
-        jax.block_until_ready(grid)
+        float(grid[0, 0, 0])  # fetch = the only real sync on the axon relay
         t_grid = time.perf_counter() - t0
     print(f"density_grid {GRID}^3 (device): {t_grid:6.2f} s")
 
@@ -78,7 +78,7 @@ def main():
         sub, normals, _ = pc.subsample_surface(
             kj, min(cfg.n_subsurface, kept.shape[0]), normals_k=cfg.normals_k
         )
-        jax.block_until_ready(normals)
+        float(normals[0, 0])  # fetch-sync
         t_filt = time.perf_counter() - t0
     print(f"outlier+FPS+normals: {t_filt:6.2f} s ({mverts.shape[0]} -> {kept.shape[0]} pts)")
 
@@ -102,7 +102,7 @@ def main():
             S, cfg.grid_pts_per_ray, 8.0, 12.0, cfg.density_threshold,
             cfg.mesh_filter_dist, cfg.back_len_div,
         )
-        jax.block_until_ready(out["pos_vec"])
+        float(out["pos_vec"][0, 0, 0])  # fetch-sync
         t_views = time.perf_counter() - t0
         tag = "cold" if it == 0 else "warm"
         print(f"views_surface_hits {V} views x {budget} rays ({tag}): {t_views:6.2f} s")
