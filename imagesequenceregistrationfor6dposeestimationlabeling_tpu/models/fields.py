@@ -249,14 +249,36 @@ class NerfField(nn.Module):
         return jnp.concatenate([f, jnp.zeros_like(f[..., :1])], axis=-1)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _init_fn(field: NerfField):
+    # cached per field: a fresh jax.jit object per call would re-trace on
+    # every invocation (seconds of host time on a 1-CPU box)
+    pts = jnp.zeros((1, 1, 3))
+    dirs = jnp.zeros((1, 3))
+    return jax.jit(lambda k: field.init(k, pts, dirs, "both"))
+
+
+@_functools.lru_cache(maxsize=16)
+def _features_fn(field: NerfField):
+    return jax.jit(lambda p, pts: field.apply(p, pts, method=field.features))
+
+
+def eval_features(field: NerfField, params, pts):
+    """Feature-head keys for points — ONE cached compiled program (an
+    eager ``field.apply`` dispatches every SIREN layer op separately
+    through the relay at ~40-90 ms each)."""
+    return _features_fn(field)(params, pts)
+
+
 def init_field(field: NerfField, key: jax.Array):
     """Initialize ALL heads (mode='both' touches color+feature layers).
 
     jitted: eager flax init dispatches one relay round-trip per layer op
     (~40-90 ms each); one compiled program hits the persistent cache."""
-    pts = jnp.zeros((1, 1, 3))
-    dirs = jnp.zeros((1, 3))
-    return jax.jit(lambda k: field.init(k, pts, dirs, "both"))(key)
+    return _init_fn(field)(key)
 
 
 # Explicit module partition for freeze_spec: every top-level NerfField

@@ -47,7 +47,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_PTS = 1024  # target points per grid step (R_tile = _TILE_PTS // P)
+import os as _os
+
+# target points per grid step (R_tile = _TILE_PTS // P); env override for
+# tile-size experiments (experiments/field_kernel_probe.py sweep)
+_TILE_PTS = int(_os.environ.get("FIELD_KERNEL_TILE", "1024"))
 
 
 def _interpret_default() -> bool:

@@ -67,10 +67,7 @@ def gen_feat(
     pts = pts[np.abs(pts).max(-1) < cfg.bound]
 
     # Mesh at the finer threshold for normals (genFeat.py:206-212).
-    def dens_fn(p):
-        return field.apply(params, p, method=field.density)
-
-    grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
+    grid = renderer.density_grid_cached(field, params, grid_res=grid_res)
     verts_idx, tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.mc_threshold)
     if verts_idx.shape[0] < 4:
         raise RuntimeError(
@@ -106,7 +103,9 @@ def gen_feat(
         pts = pts[reps]
         normals = normals[reps]
 
-    feats = np.asarray(field.apply(params, jnp.asarray(pts), method=field.features))
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as _fields
+
+    feats = np.asarray(_fields.eval_features(field, params, jnp.asarray(pts)))
 
     scale = diameter / diam_scaling
     artifacts.save_array(pose, "vert1_scaled.npy", pts * scale)

@@ -40,10 +40,7 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     """Steps: density grid -> marching tetrahedra -> radius-outlier removal
     -> FPS-1000 + normals.  Returns (mverts, subverts, subnormals)."""
 
-    def dens_fn(pts):
-        return field.apply(params, pts, method=field.density)
-
-    grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
+    grid = renderer.density_grid_cached(field, params, grid_res=grid_res)
     verts_idx, _tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.density_threshold)
     if verts_idx.shape[0] < 10:
         raise RuntimeError(

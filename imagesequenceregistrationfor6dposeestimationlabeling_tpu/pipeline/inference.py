@@ -387,6 +387,14 @@ def make_batch_estimator(cnn, cfg: InferenceConfig, mesh=None):
     return batch_fn
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _batch_estimator_cached(cnn, cfg, mesh):
+    return make_batch_estimator(cnn, cfg, mesh=mesh)
+
+
 def run_sequence(
     cnn,
     cnn_params,
@@ -430,7 +438,12 @@ def run_sequence(
         # batch program sees mixed placements
         cnn_params = mesh_lib.replicate(cnn_params, mesh)
 
-    batch_fn = make_batch_estimator(cnn, cfg, mesh=mesh)
+    # trace-cached: a fresh make_batch_estimator per call re-traces the
+    # whole vmapped CNN->correspondence->RANSAC program every sequence
+    try:
+        batch_fn = _batch_estimator_cached(cnn, cfg, mesh)
+    except TypeError:
+        batch_fn = make_batch_estimator(cnn, cfg, mesh=mesh)
     keys = jax.random.split(jax.random.PRNGKey(seed), imgs.shape[0])
     Rs, ts = [], []
     for i in range(0, imgs.shape[0], batch):

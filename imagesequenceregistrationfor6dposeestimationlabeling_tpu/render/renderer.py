@@ -210,6 +210,29 @@ def back_ray_bundle(front_bundle: RayBundle, front_hits: jnp.ndarray, div: float
     return RayBundle(origins=front_hits, directions=d, lengths=lengths, xys=front_bundle.xys)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _density_grid_fn(field, grid_res: int, chunk: int):
+    """One cached jitted program per (field, grid_res): callers used to
+    re-jit a params-closure per call, re-tracing the chunked lax.map every
+    time (seconds of host time on a 1-CPU box)."""
+
+    def run(params):
+        return density_grid(
+            lambda pts: field.apply(params, pts, method=field.density),
+            grid_res=grid_res, chunk=chunk,
+        )
+
+    return jax.jit(run)
+
+
+def density_grid_cached(field, params, grid_res: int = 128, chunk: int = 262144) -> jnp.ndarray:
+    """``density_grid`` of a NerfField's density head, trace-cached."""
+    return _density_grid_fn(field, grid_res, chunk)(params)
+
+
 def density_grid(field_density_fn: Callable, grid_res: int = 128, chunk: int = 262144) -> jnp.ndarray:
     """Evaluate density on a grid_res^3 grid over [-1, 1]^3.
 

@@ -70,6 +70,13 @@ def make_optimizer(cfg: NerfTrainConfig):
     return tx
 
 
+@functools.lru_cache(maxsize=16)
+def _opt_init_fn(cfg: NerfTrainConfig):
+    # cached: a fresh jax.jit(tx.init) per call re-traces every invocation
+    tx = make_optimizer(cfg)
+    return jax.jit(tx.init)
+
+
 def init_state(
     field: fields.NerfField,
     cfg: NerfTrainConfig,
@@ -87,7 +94,7 @@ def init_state(
         pf = fields.init_field(field, k2)
     tx = make_optimizer(cfg)
     # jitted: eager optax init dispatches per-tensor (~40-90 ms each via relay)
-    opt_state = jax.jit(tx.init)((pc, pf))
+    opt_state = _opt_init_fn(cfg)((pc, pf))
     return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
@@ -270,6 +277,31 @@ def make_multi_step(
     return multi_step
 
 
+@functools.lru_cache(maxsize=16)
+def _multi_step_cached(field, render_cfg, train_cfg, min_d, max_d, mesh):
+    """make_multi_step memoized on its static inputs: rebuilding the jit
+    per train call re-traces the whole K-step scan every invocation
+    (seconds of host time per call on a 1-CPU box; EXPERIMENTS.md
+    "tracing tax")."""
+    tx = make_optimizer(train_cfg)
+    return make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_multi_cached(field, render_cfg, train_cfg, min_d, max_d, mesh):
+    multi = _multi_step_cached(field, render_cfg, train_cfg, min_d, max_d, mesh)
+    cam_axes = cam_lib.Camera(0, 0, 0, 0, None)
+    return jax.jit(jax.vmap(multi, in_axes=(0, cam_axes, 0, 0, 0, 0)))
+
+
+def _cached_or_fresh(cache_fn, fresh_fn, *key):
+    try:
+        hash(key)
+    except TypeError:
+        return fresh_fn()
+    return cache_fn(*key)
+
+
 def depth_bounds(t_bop: np.ndarray, margin: float = 2.0):
     """min/max depths from camera distances (trainNerfFine.py:118-119)."""
     z = np.abs(np.asarray(t_bop)[:, 2])
@@ -335,9 +367,14 @@ def train_nerf_fused(
         cams[0].image_size,
     )
 
-    multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh)
-    cam_axes = cam_lib.Camera(0, 0, 0, 0, None)
-    fused = jax.jit(jax.vmap(multi, in_axes=(0, cam_axes, 0, 0, 0, 0)))
+    fused = _cached_or_fresh(
+        _fused_multi_cached,
+        lambda: jax.jit(jax.vmap(
+            make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh),
+            in_axes=(0, cam_lib.Camera(0, 0, 0, 0, None), 0, 0, 0, 0),
+        )),
+        field, render_cfg, train_cfg, min_d, max_d, mesh,
+    )
 
     images = jnp.asarray(images)
     sils = jnp.asarray(sils)
@@ -433,7 +470,11 @@ def train_nerf(
         state, tx = resume_state, make_optimizer(train_cfg)
     else:
         state, tx = init_state(field, train_cfg, key, init_params=init_params)
-    multi = make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh)
+    multi = _cached_or_fresh(
+        _multi_step_cached,
+        lambda: make_multi_step(field, tx, render_cfg, train_cfg, min_d, max_d, mesh=mesh),
+        field, render_cfg, train_cfg, min_d, max_d, mesh,
+    )
     if mesh is not None:
         # replicate params/opt and the view bank; chunk constraints inside
         # the step shard the per-ray work over 'data'
@@ -496,10 +537,7 @@ def extract_point_cloud(field: fields.NerfField, params, threshold: float = 0.03
     grid_res^3 grid (device) + marching tetrahedra (host) -> world verts."""
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import mcubes
 
-    def dens_fn(pts):
-        return field.apply(params, pts, method=field.density)
-
-    grid = renderer.density_grid(jax.jit(dens_fn), grid_res=grid_res)
+    grid = renderer.density_grid_cached(field, params, grid_res=grid_res)
     verts_idx, tris = mcubes.marching_tetrahedra(np.asarray(grid), threshold)
     verts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
     return verts, tris

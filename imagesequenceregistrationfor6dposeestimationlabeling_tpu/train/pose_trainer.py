@@ -140,6 +140,22 @@ def make_pose_optimizer(cfg: PoseTrainConfig):
     return tx
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _cnn_init_fn(cnn: ResNetUNet, image_size: int):
+    # cached: fresh jax.jit objects re-trace the whole UNet every call
+    # (seconds of host time per train_pose invocation on a 1-CPU box)
+    return jax.jit(lambda k: cnn.init(k, jnp.zeros((1, image_size, image_size, 3))))
+
+
+@_functools.lru_cache(maxsize=16)
+def _pose_opt_init_fn(cfg: PoseTrainConfig):
+    tx = make_pose_optimizer(cfg)
+    return jax.jit(tx.init)
+
+
 def init_pose_state(field, nerf_params, cfg: PoseTrainConfig, key, image_size: int,
                     cnn: Optional[ResNetUNet] = None, init_cnn_params=None):
     """Fresh PoseTrainState (also the `like` tree for full-state restore)."""
@@ -150,9 +166,8 @@ def init_pose_state(field, nerf_params, cfg: PoseTrainConfig, key, image_size: i
     if init_cnn_params is not None:
         cnn_params = init_cnn_params
     else:
-        cnn_params = jax.jit(cnn.init)(key, jnp.zeros((1, image_size, image_size, 3)))
-    tx = make_pose_optimizer(cfg)
-    opt_state = jax.jit(tx.init)((nerf_params, cnn_params))
+        cnn_params = _cnn_init_fn(cnn, image_size)(key)
+    opt_state = _pose_opt_init_fn(cfg)((nerf_params, cnn_params))
     return PoseTrainState(nerf_params, cnn_params, opt_state, jnp.zeros((), jnp.int32))
 
 
@@ -338,6 +353,14 @@ def make_pose_multi_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
     return multi_step
 
 
+@_functools.lru_cache(maxsize=16)
+def _pose_multi_cached(field, cnn, cfg, aug_cfg, mesh):
+    """make_pose_multi_step memoized on its static inputs (tracing tax —
+    see nerf_trainer._multi_step_cached)."""
+    tx = make_pose_optimizer(cfg)
+    return make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh)
+
+
 def train_pose(
     field,
     nerf_params,
@@ -411,10 +434,18 @@ def train_pose(
         distractor_bank = tuple(jnp.asarray(a, jnp.float32) for a in distractor_bank)
         if mesh is not None:
             distractor_bank = mesh_lib.replicate(distractor_bank, mesh)
-    multi = make_pose_multi_step(
-        field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank,
-        distractor_bank=distractor_bank,
-    )
+    if bg_bank is None and distractor_bank is None:
+        # trace-cached hot path (the banks are closure-captured arrays, so
+        # banked runs build a fresh program)
+        try:
+            multi = _pose_multi_cached(field, cnn, cfg, aug_cfg, mesh)
+        except TypeError:
+            multi = make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh)
+    else:
+        multi = make_pose_multi_step(
+            field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank,
+            distractor_bank=distractor_bank,
+        )
 
     neg_j = jnp.asarray(neg_pts, jnp.float32)
     images = jnp.asarray(images)
