@@ -134,15 +134,27 @@ def make_train_step(
     total_rays = train_cfg.batch_size * render_cfg.n_rays_per_image
     remat = total_rays > ray_chunk
     # fused Pallas field eval (embed->trunk->heads in VMEM) on real TPU;
-    # the flax path stays for CPU (interpret-mode pallas is slower there)
-    # and for >1-device meshes (XLA's auto-SPMD cannot partition the
-    # custom call — the sharded path keeps the flax eval)
-    use_kernel = field_kernel.enabled(field.cfg) and n_dev == 1
+    # the flax path stays for CPU (interpret-mode pallas is slower there).
+    # On a >1-device mesh XLA's auto-SPMD cannot partition the custom
+    # call, so the kernel runs under shard_map: each device evaluates its
+    # ray shard, params replicated, grad-psum inserted by the AD transpose.
+    use_kernel = field_kernel.enabled(field.cfg)
 
     def eval_color(params, pts, dirs):
-        if use_kernel:
+        if not use_kernel:
+            return field.apply(params, pts, dirs, "color")
+        if mesh is None or n_dev == 1:
             return field_kernel.field_color(params, pts, dirs, field.cfg)
-        return field.apply(params, pts, dirs, "color")
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            lambda p, x, d: field_kernel.field_color(p, x, d, field.cfg),
+            mesh=mesh,
+            in_specs=(P(), P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+            out_specs=(P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+            check_vma=False,  # pallas out_shapes carry no vma info
+        )
+        return fn(params, pts, dirs)
 
     def loss_fn(params_pair, cam: cam_lib.Camera, images, sils, key):
         pc, pf = params_pair

@@ -157,3 +157,40 @@ def test_under_scan_and_remat():
         np.testing.assert_allclose(
             np.asarray(lk, np.float32), np.asarray(lr, np.float32),
             atol=1e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_shard_map_over_ray_axis():
+    """The multi-device integration: kernel under shard_map (rays sharded,
+    params replicated) must match the single-device kernel, including
+    gradients (the AD transpose inserts the param-grad psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = mesh_lib.make_mesh(8)
+    cfg, field, params, pts, dirs = _setup(R=16, P=6, seed=1)
+
+    kfn = lambda p, x, d: field_kernel.field_color(p, x, d, cfg, interpret=True)
+    sfn = jax.shard_map(
+        kfn, mesh=mesh,
+        in_specs=(P(), P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+        out_specs=(P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+        check_vma=False,  # pallas out_shapes carry no vma info
+    )
+
+    def loss(fn, p):
+        dens, rgb = fn(p, pts, dirs)
+        return jnp.sum(dens * 0.5) + jnp.sum(rgb * jnp.sin(rgb))
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(kfn, p))(params)
+    v8, g8 = jax.value_and_grad(lambda p: loss(sfn, p))(params)
+    np.testing.assert_allclose(float(v1), float(v8), rtol=1e-5)
+    for (path, l1), (_, l8) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l8, np.float32),
+            atol=1e-5, err_msg=jax.tree_util.keystr(path))
