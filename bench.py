@@ -301,11 +301,45 @@ def run_pipeline(halves, run_id: int):
     }
 
 
+def _wait_for_backend(budget_s: float = 900.0, probe_timeout: float = 150.0):
+    """Block until the accelerator backend initializes, probing in CHILD
+    processes (a failed init poisons the parent's backend cache for good).
+
+    The axon TPU relay goes UNAVAILABLE for tens of minutes at a time
+    (observed 2026-08-17: >90 min outage); without this, a driver bench
+    run landing in such a window records nothing at all."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        if time.monotonic() > deadline:
+            print(f"backend still unavailable after {attempt} probes / "
+                  f"{budget_s:.0f}s — proceeding (and likely failing loudly)",
+                  file=sys.stderr)
+            return
+        print(f"backend unavailable (probe {attempt}); retrying in 30 s",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
         load_scene_cached,
     )
 
+    _wait_for_backend()
     t0 = time.perf_counter()
     # data: two half-sequences of the same object (disk-cached)
     halves = [load_scene_cached(uh, N_VIEWS, IMG, cache_dir=_CACHE) for uh in (0, 1)]
