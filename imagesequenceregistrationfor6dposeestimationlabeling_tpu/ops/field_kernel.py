@@ -7,9 +7,9 @@ round-trips for the wide intermediates (the (N, 360) embedding alone is
 ~0.7 GB/step).  This kernel evaluates embed -> trunk -> density head ->
 color head in ONE pass per ray tile with every intermediate in VMEM:
 
-* the harmonic embedding (nerf.py:106-144) never touches HBM — the
-  angle matrix is a tiny (3, 180) matmul and sin/cos feed the trunk
-  matmuls directly from registers,
+* the harmonic embedding (nerf.py:106-144) never touches HBM — angles
+  come from exact elementwise broadcasts (see _angles) and sin/cos feed
+  the trunk matmuls directly from registers,
 * the trunk/color matmuls (nerf.py:172-189) run in bf16 on the MXU with
   fp32 accumulation; the ``concat([sin, cos]) @ W`` contraction is split
   into two matmuls so no lane-dim concat is ever materialized,
