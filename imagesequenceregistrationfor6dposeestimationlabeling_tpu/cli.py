@@ -73,9 +73,13 @@ def exp_dir(args):
 def field_config(args):
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
 
+    # --act-dtype bfloat16 also auto-enables the fused Pallas field kernel
+    # on TPU (ops/field_kernel.py enabled(): the kernel's numerics ARE
+    # bf16 activation storage, so the knobs stay truthful)
+    act = getattr(args, "act_dtype", "float32")
     if getattr(args, "field_preset", "full") == "small":
-        return FieldConfig(n_harmonic_functions=8, n_hidden=48)
-    return FieldConfig()
+        return FieldConfig(n_harmonic_functions=8, n_hidden=48, act_dtype=act)
+    return FieldConfig(act_dtype=act)
 
 
 def render_config(args):
@@ -718,6 +722,11 @@ def build_parser():
         sp.add_argument("--steps", default=0, type=int)
         sp.add_argument("--log-every", default=100, type=int)
         sp.add_argument("--grid-res", default=128, type=int)
+        sp.add_argument(
+            "--act-dtype", default="float32", choices=("float32", "bfloat16"),
+            help="field activation storage; bfloat16 halves HBM traffic and "
+                 "enables the fused Pallas field kernel on TPU",
+        )
         sp.add_argument("--image-size", default=0, type=int,
                         help="override stage image size (smoke runs)")
         sp.add_argument("--field-preset", default="full", choices=["full", "small"],

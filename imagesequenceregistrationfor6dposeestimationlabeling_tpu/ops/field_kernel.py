@@ -59,11 +59,21 @@ def _interpret_default() -> bool:
 
 
 def enabled(cfg) -> bool:
-    """Use the fused kernel for training?  Auto: only on real TPU (the
-    interpret-mode kernel is much slower than plain XLA on CPU)."""
+    """Use the fused kernel for training?
+
+    Auto (``fused_kernel=None``): only on a real TPU AND only when the
+    field is configured for the kernel's numerics — bf16 matmuls and bf16
+    activation storage are hardcoded in the kernel, so auto-enabling it
+    for an fp32-configured field would silently override the
+    compute_dtype/act_dtype knobs.  ``fused_kernel=True`` forces it
+    regardless (the caller owns the precision trade)."""
     flag = getattr(cfg, "fused_kernel", None)
     if flag is None:
-        return jax.default_backend() == "tpu"
+        return (
+            jax.default_backend() == "tpu"
+            and getattr(cfg, "compute_dtype", None) == "bfloat16"
+            and getattr(cfg, "act_dtype", None) == "bfloat16"
+        )
     return bool(flag)
 
 

@@ -77,3 +77,14 @@ def constrain(x, mesh: Optional[Mesh], spec: tuple):
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of k that is >= n (for sharding-divisible batches)."""
     return ((n + k - 1) // k) * k
+
+
+def cached_or_fresh(cache_fn, fresh_fn, *key):
+    """Use the lru_cache'd factory when the key is hashable, else build
+    fresh.  Probes hash() explicitly so a genuine TypeError raised INSIDE
+    the factory propagates instead of silently disabling the trace cache."""
+    try:
+        hash(key)
+    except TypeError:
+        return fresh_fn()
+    return cache_fn(*key)

@@ -440,10 +440,11 @@ def run_sequence(
 
     # trace-cached: a fresh make_batch_estimator per call re-traces the
     # whole vmapped CNN->correspondence->RANSAC program every sequence
-    try:
-        batch_fn = _batch_estimator_cached(cnn, cfg, mesh)
-    except TypeError:
-        batch_fn = make_batch_estimator(cnn, cfg, mesh=mesh)
+    batch_fn = mesh_lib.cached_or_fresh(
+        _batch_estimator_cached,
+        lambda: make_batch_estimator(cnn, cfg, mesh=mesh),
+        cnn, cfg, mesh,
+    )
     keys = jax.random.split(jax.random.PRNGKey(seed), imgs.shape[0])
     Rs, ts = [], []
     for i in range(0, imgs.shape[0], batch):

@@ -306,12 +306,7 @@ def _fused_multi_cached(field, render_cfg, train_cfg, min_d, max_d, mesh):
     return jax.jit(jax.vmap(multi, in_axes=(0, cam_axes, 0, 0, 0, 0)))
 
 
-def _cached_or_fresh(cache_fn, fresh_fn, *key):
-    try:
-        hash(key)
-    except TypeError:
-        return fresh_fn()
-    return cache_fn(*key)
+_cached_or_fresh = mesh_lib.cached_or_fresh
 
 
 def depth_bounds(t_bop: np.ndarray, margin: float = 2.0):

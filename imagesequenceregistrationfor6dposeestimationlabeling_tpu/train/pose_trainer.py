@@ -437,10 +437,11 @@ def train_pose(
     if bg_bank is None and distractor_bank is None:
         # trace-cached hot path (the banks are closure-captured arrays, so
         # banked runs build a fresh program)
-        try:
-            multi = _pose_multi_cached(field, cnn, cfg, aug_cfg, mesh)
-        except TypeError:
-            multi = make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh)
+        multi = mesh_lib.cached_or_fresh(
+            _pose_multi_cached,
+            lambda: make_pose_multi_step(field, cnn, tx, cfg, aug_cfg, mesh=mesh),
+            field, cnn, cfg, aug_cfg, mesh,
+        )
     else:
         multi = make_pose_multi_step(
             field, cnn, tx, cfg, aug_cfg, mesh=mesh, bg_bank=bg_bank,

@@ -194,3 +194,33 @@ def test_shard_map_over_ray_axis():
         np.testing.assert_allclose(
             np.asarray(l1, np.float32), np.asarray(l8, np.float32),
             atol=1e-5, err_msg=jax.tree_util.keystr(path))
+
+
+def test_gradients_with_ragged_ray_count():
+    """op_bwd's cotangent-padding branch (R % ray_tile != 0): gradients
+    through padded tiles must equal a computation where the rays fit the
+    tile exactly (pad rows contribute exactly zero to every param grad)."""
+    # P chosen so rt = _TILE_PTS // P > 1 and R % rt != 0
+    P = field_kernel._TILE_PTS // 2
+    cfg, field, params, pts, dirs = _setup(R=3, P=P, seed=5)
+
+    def loss_at(pts, dirs):
+        def loss(p):
+            dens, rgb = field_kernel.field_color(p, pts, dirs, cfg,
+                                                 interpret=True)
+            return jnp.sum(dens) + jnp.sum(rgb * jnp.cos(rgb))
+        return jax.grad(loss)(params)
+
+    g_ragged = loss_at(pts, dirs)             # R=3, rt=2 -> padded to 4
+    # same rays duplicated to R=6 (divisible), then halve the grads
+    g_even = jax.tree.map(
+        lambda x: 0.5 * x,
+        loss_at(jnp.concatenate([pts, pts]), jnp.concatenate([dirs, dirs])),
+    )
+    for (path, lr), (_, le) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ragged),
+        jax.tree_util.tree_leaves_with_path(g_even),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lr, np.float32), np.asarray(le, np.float32),
+            atol=1e-4, err_msg=jax.tree_util.keystr(path))
