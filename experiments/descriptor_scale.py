@@ -73,7 +73,10 @@ def main():
     timings["data"] = round(time.perf_counter() - t0, 1)
     print(f"scenes ready ({timings['data']} s)", flush=True)
 
-    field = fields.NerfField(FieldConfig())
+    # bf16 activation storage enables the fused Pallas field kernel on TPU
+    # (same losses/quality measured in kernel_train_ab.py; ~1.6x on the
+    # NeRF phase, which dominates this run's wall time)
+    field = fields.NerfField(FieldConfig(act_dtype=os.environ.get("ACT_DTYPE", "bfloat16")))
 
     t = time.perf_counter()
     state, losses = nerf_trainer.train_nerf(
