@@ -35,8 +35,16 @@ Synthetic scene *generation* is test-data synthesis, not part of the
 pipeline the 60 s target measures (the reference loads files from disk),
 so scenes are cached under .bench_cache/ and reported as detail.data_s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = 60.0 / elapsed (>1 means under the 60 s target).
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+as soon as the FIRST complete run finishes (flushed), then prints an
+UPDATED line if a later run is faster — the last parseable line is the
+record, and a run-2 kill can no longer erase run 1's number (round 3's
+driver record was null because the 2-run bench never printed anything
+before its window closed).  Per-phase partials are persisted to
+.bench_partial.json after every phase so even a killed run leaves
+evidence.  The total window is budgeted via BENCH_BUDGET_S (default
+2400 s): the backend-outage wait and the decision to attempt run 2 are
+both made against time actually remaining.
 
 BENCH_QUALITY=1 switches to the strict-ADD quality benchmark: it loads
 the reference-schedule trained nets persisted by
@@ -107,6 +115,35 @@ def _add_metric_batch():
 IMG = int(os.environ.get("BENCH_IMG", 48 if SMALL else 224))
 GRID = int(os.environ.get("BENCH_GRID", 48 if SMALL else 128))
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+# Total wall-clock budget for the whole bench invocation.  The driver runs
+# `python bench.py` under a hard timeout; round 3's record was null because
+# a 900 s outage wait + 2 full runs blew that window.  Every blocking
+# decision (outage wait, run-2 attempt) is made against what remains.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2400))
+_T_START = time.monotonic()
+_PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_partial.json")
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _emit(payload):
+    """Print (and flush) one JSON record line.  May be called more than
+    once — the last parseable line on stdout is the official record."""
+    import sys
+
+    print(json.dumps(_finite(payload)), flush=True)
+    sys.stdout.flush()
+
+
+def _save_partial(record: dict):
+    """Persist in-progress phase timings so a killed run leaves evidence."""
+    try:
+        with open(_PARTIAL, "w") as f:
+            json.dump(_finite(record), f)
+    except OSError:
+        pass
 
 
 
@@ -147,6 +184,13 @@ def run_pipeline(halves, run_id: int):
     diam = halves[0].diameter
     scale = diam / 1.8
 
+    partial = {"run": run_id, "phases": {}, "done": False}
+
+    def _phase(name, t_prev, t_now):
+        partial["phases"][name] = round(t_now - t_prev, 2)
+        partial["elapsed_so_far"] = round(t_now - t0, 2)
+        _save_partial(partial)
+
     if SMALL:
         field = fields.NerfField(
             FieldConfig(n_harmonic_functions=8, n_hidden=48, act_dtype=ACT_DTYPE)
@@ -177,6 +221,7 @@ def run_pipeline(halves, run_id: int):
     )
     final_losses = [round(float(np.mean(loss_mat[h, -10:])), 2) for h in range(2)]
     t_nerf = time.perf_counter()
+    _phase("nerf_s", t0, t_nerf)
 
     # --- correspondences per half from the TRAINED fine field
     cors_dirs = []
@@ -193,6 +238,7 @@ def run_pipeline(halves, run_id: int):
             for i in range(N_VIEWS)
         )))
     t_cors = time.perf_counter()
+    _phase("cors_s", t_nerf, t_cors)
 
     # --- negative-key build: the REAL phase-1 pipeline (render -> FPS ->
     # bound -> mesh filter, trainPose.py:315-353; VERDICT r2 #7)
@@ -210,6 +256,7 @@ def run_pipeline(halves, run_id: int):
         scene0.sils, a1, pose_cfg, image_size=IMG, n_loops=20, threshold=0.2,
     )
     t_neg = time.perf_counter()
+    _phase("neg_s", t_cors, t_neg)
 
     # --- descriptor training on half 0 (CNN queries vs feature-head keys)
     bank = pose_trainer.load_ray_bank(cors_dirs[0], IMG, N_VIEWS)
@@ -220,6 +267,7 @@ def run_pipeline(halves, run_id: int):
         steps_per_call=min(50, POSE_STEPS),
     )
     t_pose = time.perf_counter()
+    _phase("pose_s", t_neg, t_pose)
 
     # --- bake features from the TRAINED feature head at the trained surface
     exp0 = os.path.join(out_root, "0_synth_obj_1")
@@ -233,6 +281,7 @@ def run_pipeline(halves, run_id: int):
         diam, exp0, 1, feat_cfg, image_size=IMG, grid_res=GRID, threshold=0.2,
     )
     t_bake = time.perf_counter()
+    _phase("bake_s", t_pose, t_bake)
 
     # --- batched inference with the TRAINED CNN on the other half
     scene1 = halves[1]
@@ -258,6 +307,7 @@ def run_pipeline(halves, run_id: int):
     )).tolist()
     correct = int(sum(a < 0.1 * diam * scale for a in adds))
     t_inf = time.perf_counter()
+    _phase("infer_s", t_bake, t_inf)
 
     # --- registration finale: Chamfer-verification best image + ICP + Chamfer
     sub_cloud = verts_real[:: max(verts_real.shape[0] // 4000, 1)]
@@ -277,6 +327,9 @@ def run_pipeline(halves, run_id: int):
         icp_threshold=0.2 * scale, icp_iters=20,
     )
     t_end = time.perf_counter()
+    _phase("icp_s", t_inf, t_end)
+    partial["done"] = True
+    _save_partial(partial)
 
     return {
         "elapsed": round(t_end - t0, 2),
@@ -301,65 +354,58 @@ def run_pipeline(halves, run_id: int):
     }
 
 
-def _wait_for_backend(budget_s: float = 900.0, probe_timeout: float = 150.0):
-    """Block until the accelerator backend initializes, probing in CHILD
-    processes (a failed init poisons the parent's backend cache for good).
-
-    The axon TPU relay goes UNAVAILABLE for tens of minutes at a time
-    (observed 2026-08-17: >90 min outage); without this, a driver bench
-    run landing in such a window records nothing at all."""
+def _probe_backend_subprocess(probe_timeout: float = 150.0) -> bool:
+    """One backend-availability probe in a CHILD process.  Probing in the
+    parent would poison its backend cache for good on a failed init (seen
+    in MULTICHIP_r01: libtpu skew left jax permanently broken in-process)
+    — the child-process pattern is load-bearing, keep it."""
     import subprocess
     import sys
 
-    deadline = time.monotonic() + budget_s
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=probe_timeout,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend(budget_s: float = 900.0, probe=None,
+                      sleep=time.sleep, clock=time.monotonic,
+                      retry_s: float = 30.0) -> bool:
+    """Block until the accelerator backend initializes (child-process
+    probes), giving up after ``budget_s``.  Returns True when available.
+
+    The axon TPU relay goes UNAVAILABLE for tens of minutes at a time
+    (observed 2026-08-17: >2.5 h outage); without this, a driver bench
+    run landing in such a window records nothing at all.  ``probe``/
+    ``sleep``/``clock`` are injectable for unit tests."""
+    import sys
+
+    if probe is None:
+        probe = _probe_backend_subprocess
+    deadline = clock() + budget_s
     attempt = 0
     while True:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=probe_timeout,
-            )
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
+        if probe():
+            return True
         attempt += 1
-        if time.monotonic() > deadline:
+        if clock() > deadline:
             print(f"backend still unavailable after {attempt} probes / "
                   f"{budget_s:.0f}s — proceeding (and likely failing loudly)",
                   file=sys.stderr)
-            return
-        print(f"backend unavailable (probe {attempt}); retrying in 30 s",
+            return False
+        print(f"backend unavailable (probe {attempt}); retrying in {retry_s:.0f} s",
               file=sys.stderr)
-        time.sleep(30)
+        sleep(retry_s)
 
 
-def main():
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
-        load_scene_cached,
-    )
-
-    _wait_for_backend()
-    t0 = time.perf_counter()
-    # data: two half-sequences of the same object (disk-cached)
-    halves = [load_scene_cached(uh, N_VIEWS, IMG, cache_dir=_CACHE) for uh in (0, 1)]
-    t_data = round(time.perf_counter() - t0, 2)
-
-    runs = []
-    for r in range(max(N_RUNS, 1)):
-        try:
-            runs.append(run_pipeline(halves, r))
-        except Exception as e:
-            if not runs:
-                raise
-            # keep the completed run(s); a flaky retry must not lose them
-            import sys
-
-            print(f"bench run {r} failed after a complete run: {e}", file=sys.stderr)
-            break
+def _headline(runs, t_data) -> dict:
+    """Build the headline record from the completed runs so far."""
     best = min(runs, key=lambda p: p["elapsed"])
     elapsed = best["elapsed"]
-
     detail = dict(best)
     detail["data_s"] = t_data
     detail["n_runs"] = len(runs)
@@ -369,13 +415,53 @@ def main():
                            "bake_s", "infer_s", "icp_s")}
         for p in runs
     ]
-    print(json.dumps(_finite({
+    return {
         "metric": "synthetic_e2e_registration_wallclock",
         "value": elapsed,
         "unit": "s",
         "vs_baseline": round(60.0 / elapsed, 3),
         "detail": detail,
-    })))
+    }
+
+
+def main():
+    import sys
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data.scene_cache import (
+        load_scene_cached,
+    )
+
+    # Outage wait is budgeted against the whole-invocation window: always
+    # reserve ~2/3 of the budget for the run itself (round 3 lost its
+    # record to a fixed 900 s wait + 2 runs inside a hard driver timeout).
+    _wait_for_backend(budget_s=max(60.0, min(900.0, _remaining() - BUDGET_S * 2 / 3)))
+    t0 = time.perf_counter()
+    # data: two half-sequences of the same object (disk-cached)
+    halves = [load_scene_cached(uh, N_VIEWS, IMG, cache_dir=_CACHE) for uh in (0, 1)]
+    t_data = round(time.perf_counter() - t0, 2)
+
+    runs = []
+    for r in range(max(N_RUNS, 1)):
+        if runs:
+            # Attempt another run only if it plausibly fits: a warm rerun
+            # costs about the best run so far (same compiled programs);
+            # 1.5x + 60 s margin guards against relay throttling.
+            est_next = min(p["elapsed"] for p in runs) * 1.5 + 60.0
+            if _remaining() < est_next:
+                print(f"skipping run {r}: {_remaining():.0f}s left < "
+                      f"{est_next:.0f}s estimated", file=sys.stderr)
+                break
+        try:
+            runs.append(run_pipeline(halves, r))
+        except Exception as e:
+            if not runs:
+                raise
+            # keep the completed run(s); a flaky retry must not lose them
+            print(f"bench run {r} failed after a complete run: {e}", file=sys.stderr)
+            break
+        # Emit immediately after EVERY completed run (the last parseable
+        # line is the record): a kill mid-run-2 keeps run 1's number.
+        _emit(_headline(runs, t_data))
 
 
 def quality_main():
