@@ -63,6 +63,48 @@ def render_preview(field, params, cam, image_size: int, n_pts: int, min_depth, m
     return rgb, sil
 
 
+def image_grid(
+    images,
+    rows: int | None = None,
+    cols: int | None = None,
+    fill: bool = True,
+    rgb: bool = True,
+    pad: int = 0,
+) -> np.ndarray:
+    """Tile N images into one (rows*H, cols*W, 3) array
+    (cowrendersynth.py:1347-1391's matplotlib grid, as a pure-numpy tiler
+    so `save_image` can write it without a figure backend).
+
+    `rows`/`cols` must be given together or not at all (reference raises
+    the same way); default is one column per image stacked vertically.
+    `rgb=True` plots the RGB channels, `rgb=False` the alpha channel.
+    `fill=False` adds a 2-px white gutter between cells (the reference's
+    non-zero wspace/hspace); `pad` overrides the gutter width."""
+    if (rows is None) != (cols is None):
+        raise ValueError("Specify either both rows and cols or neither.")
+    imgs = [np.asarray(im, np.float32) for im in images]
+    if rows is None:
+        rows, cols = len(imgs), 1
+    cells = []
+    for im in imgs:
+        if rgb:
+            cell = im[..., :3] if im.ndim == 3 else im[..., None].repeat(3, -1)
+        else:
+            cell = im[..., 3:4].repeat(3, -1) if (im.ndim == 3 and im.shape[-1] > 3) else (
+                im[..., None].repeat(3, -1) if im.ndim == 2 else im[..., :3])
+        cells.append(cell)
+    h = max(c.shape[0] for c in cells)
+    w = max(c.shape[1] for c in cells)
+    g = pad if pad else (0 if fill else 2)
+    grid = np.ones((rows * (h + g) - g if rows else 0,
+                    cols * (w + g) - g if cols else 0, 3), np.float32)
+    for k, cell in enumerate(cells[: rows * cols]):
+        r, c = divmod(k, cols)
+        grid[r * (h + g): r * (h + g) + cell.shape[0],
+             c * (w + g): c * (w + g) + cell.shape[1]] = cell
+    return grid
+
+
 def rotating_views(n_frames: int = 36, dist: float = 4.0):
     """Camera ring for rotating-NeRF videos (nutil.py:463-496)."""
     import numpy as np

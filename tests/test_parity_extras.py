@@ -81,3 +81,65 @@ def test_freeze_fine_bundle_reuse_matches_coarse_fine():
     img2, _ = renderer.render_bundle(_toy_field, frozen, mode="color")
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
     assert frozen.lengths.shape[-1] == 8 + 16  # add_input_samples concat
+
+
+def test_adds_metric_nn_targets_surface_cloud(rng):
+    """ADDS parity with the reference (inference.py:118-120): the query
+    cloud is the CAD verts under GT pose, the NN TARGET is the baked
+    surface cloud under the estimated pose."""
+    from scipy.spatial.transform import Rotation
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import metrics
+
+    verts = rng.normal(size=(64, 3)).astype(np.float32)
+    surface = rng.normal(size=(200, 3)).astype(np.float32)
+    R_gt = Rotation.from_euler("xyz", [10, 20, 30], degrees=True).as_matrix().astype(np.float32)
+    t_gt = np.asarray([0.1, -0.2, 0.3], np.float32)
+    R_est = Rotation.from_euler("xyz", [12, 19, 33], degrees=True).as_matrix().astype(np.float32)
+    t_est = np.asarray([0.12, -0.18, 0.31], np.float32)
+
+    got = float(metrics.adds_metric(
+        jnp.asarray(verts), jnp.asarray(R_gt), jnp.asarray(t_gt),
+        jnp.asarray(R_est), jnp.asarray(t_est), surface_points=jnp.asarray(surface),
+    ))
+    # reference semantics, brute force: query verts.dot(gtR.T)+gtT against
+    # target surface.dot(R.T)+T
+    a = verts @ R_gt.T + t_gt
+    b = surface @ R_est.T + t_est
+    want = np.linalg.norm(a[:, None] - b[None], axis=-1).min(axis=1).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # default (no surface cloud): verts double as the target
+    got_sym = float(metrics.adds_metric(
+        jnp.asarray(verts), jnp.asarray(R_gt), jnp.asarray(t_gt),
+        jnp.asarray(R_est), jnp.asarray(t_est),
+    ))
+    b2 = verts @ R_est.T + t_est
+    want_sym = np.linalg.norm(a[:, None] - b2[None], axis=-1).min(axis=1).mean()
+    np.testing.assert_allclose(got_sym, want_sym, rtol=1e-5)
+
+
+def test_image_grid_tiles_and_validates():
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.utils import viz
+
+    imgs = [np.full((4, 5, 4), v, np.float32) for v in (0.1, 0.2, 0.3, 0.4)]
+    g = viz.image_grid(imgs, rows=2, cols=2)
+    assert g.shape == (8, 10, 3)
+    np.testing.assert_allclose(g[0, 0], 0.1)
+    np.testing.assert_allclose(g[4, 5], 0.4)
+    # alpha-channel mode (reference rgb=False plots im[..., 3])
+    ga = viz.image_grid(imgs, rows=2, cols=2, rgb=False)
+    np.testing.assert_allclose(ga[0, 0], 0.1)
+    # default layout: one column, N rows
+    gd = viz.image_grid(imgs[:2])
+    assert gd.shape == (8, 5, 3)
+    # gutter when fill=False
+    gg = viz.image_grid(imgs, rows=2, cols=2, fill=False)
+    assert gg.shape == (8 + 2, 10 + 2, 3)
+    np.testing.assert_allclose(gg[4, 0], 1.0)  # white gutter row
+    # rows/cols must come together, as the reference raises
+    try:
+        viz.image_grid(imgs, rows=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
