@@ -143,7 +143,7 @@ def view_surface_hits(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts"))
+@functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts", "mesh"))
 def views_surface_hits(
     field,
     params,
@@ -159,11 +159,16 @@ def views_surface_hits(
     threshold: float,
     mesh_dist: float,
     back_div: float,
+    mesh=None,
 ):
     """ALL views' front+back surface hits in ONE program: a lax.map over
     the view axis (sequential per view, so HBM stays at one view's
     footprint) replacing V separate ~40-90 ms relay dispatches.  The
-    reference loops views in Python (generateCors.py:268)."""
+    reference loops views in Python (generateCors.py:268).
+
+    With a ``mesh``, views are processed in mesh-sized groups — each group
+    vmapped with the view axis sharded over 'data', so every device owns
+    one view's render (SURVEY §2c view-axis DP for this stage)."""
 
     def one(args):
         R, T, f, p, si, sv = args
@@ -174,9 +179,34 @@ def views_surface_hits(
             back_div,
         )
 
-    return jax.lax.map(
-        one, (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)
+    args = (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)
+    if mesh is None or mesh.devices.size <= 1:
+        return jax.lax.map(one, args)
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+        mesh as mesh_lib,
     )
+
+    g = int(mesh.devices.size)
+    V = int(cams.R.shape[0])
+    pad = (-V) % g
+
+    def pad_group(x):
+        x = jnp.asarray(x)
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)])
+        return x.reshape((V + pad) // g, g, *x.shape[1:])
+
+    grouped = jax.tree.map(pad_group, args)
+
+    def group(a):
+        a = jax.tree.map(
+            lambda x: mesh_lib.constrain(x, mesh, (mesh_lib.DATA_AXIS,)), a
+        )
+        return jax.vmap(one)(a)
+
+    out = jax.lax.map(group, grouped)
+    return jax.tree.map(lambda x: x.reshape(V + pad, *x.shape[2:])[:V], out)
 
 
 def _pad_cloud(verts: np.ndarray, multiple: int = 8192):
@@ -202,12 +232,28 @@ def generate_cors(
     grid_res: int = 128,
     image_size: int | None = None,
     depth_margin: float = 2.0,
+    mesh="auto",
 ):
     """Run the full correspondence precompute and write the artifact bus.
 
     ``sils`` may be at a different resolution than ``image_size``; the
     reference re-loads data at render_size=224 (generateCors.py:97).
+    On a multi-device mesh the fresh-run path shards the view axis.
     """
+    if mesh == "auto":
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+            mesh as mesh_lib,
+        )
+
+        mesh = mesh_lib.auto_mesh()
+    if mesh is not None and params is not None:
+        # trained params arrive committed to one device; the sharded view
+        # program constrains over the whole mesh — replicate them first
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
+            mesh as mesh_lib,
+        )
+
+        params = mesh_lib.replicate(params, mesh)
     S = image_size or cfg.render_size
     cors = artifacts.cors_dir(out_dir, objid)
     os.makedirs(cors, exist_ok=True)
@@ -264,7 +310,8 @@ def generate_cors(
         sels = np.stack([view_sel(i)[0] for i in pending])
         vals = np.stack([view_sel(i)[1] for i in pending])
         out = jax.device_get(views_surface_hits(
-            field, params, cam_all, jnp.asarray(sels), jnp.asarray(vals), *hit_args
+            field, params, cam_all, jnp.asarray(sels), jnp.asarray(vals), *hit_args,
+            mesh=mesh,
         ))
         for v, i in enumerate(pending):
             save_view(i, out, v)
