@@ -22,6 +22,7 @@ the analytic scene so the full pipeline runs without downloaded data.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 
@@ -64,6 +65,20 @@ def load_data(args, image_size):
     )
     diam = bop.load_diameter(os.path.join(args.bop_root, args.dataset), args.objid)
     return samples.images, samples.sils, samples.R, samples.t, samples.K, diam
+
+
+def load_other_half(args, image_size):
+    """Images/GT of the OTHER half-sequence: the reference estimates the
+    poses of the second sequence's images with this experiment's model
+    (finalposes.py:105-238 and inference.py:159-163 loop file_list[:1280]
+    = ids 0..1279 for the 0_ experiment; choosePose.py:79-89 --cal_GT
+    reads the same ids' scene_gt).  Flipping UH here reproduces exactly
+    that cross-half evaluation."""
+    import copy
+
+    other = copy.copy(args)
+    other.UH = 1 - int(args.UH)
+    return load_data(other, image_size)
 
 
 def exp_dir(args):
@@ -152,6 +167,9 @@ def cmd_train_nerf(args):
             )
             viz.save_image(os.path.join(nerf_d, "previews", f"{step}_rgb.png"), rgb)
             viz.save_image(os.path.join(nerf_d, "previews", f"{step}_sil.png"), sil)
+            # one-glance grid (cowrendersynth.py:1347-1391's image_grid)
+            viz.save_image(os.path.join(nerf_d, "previews", f"{step}_grid.png"),
+                           viz.image_grid([rgb, sil], rows=1, cols=2, fill=False))
         # point-cloud dumps every pc_every (trainNerfFine.py:357-362);
         # the final cloud is extracted after training either way
         if step % cfg.pc_every < cfg.ckpt_every and step >= cfg.pc_every:
@@ -307,6 +325,12 @@ def cmd_train_pose(args):
                 os.path.join(pose_d, "previews", f"{step}_mask.png"),
                 1.0 / (1.0 + np.exp(-feat[..., 12])),
             )
+            viz.save_image(
+                os.path.join(pose_d, "previews", f"{step}_grid.png"),
+                viz.image_grid([viz.emb_vis(feat[..., :12], sils[0]),
+                                1.0 / (1.0 + np.exp(-feat[..., 12]))],
+                               rows=1, cols=2, fill=False),
+            )
 
     init_cnn = None
     resume_state = None
@@ -400,7 +424,8 @@ def cmd_poses_est(args):
     pose_d = artifacts.pose_dir(exp, args.objid)
     # padded keys for correspondence (bucketed shapes hit the compile cache)
     verts, feats, normals, _ = artifacts.load_keys(pose_d, trim=False)
-    images, sils, R, t, K, diam = load_data(args, args.image_size or 224)
+    # the estimated images are the OTHER half's (finalposes.py:105-238)
+    images, sils, R, t, K, diam = load_other_half(args, args.image_size or 224)
 
     cnn = ResNetUNet()
     ckpt = os.path.join(pose_d, "encoderRGBlatest")
@@ -435,7 +460,9 @@ def cmd_inference(args):
     # (the cycled tail would double-weight the prefix in ADD means)
     verts, feats, _, n_real = artifacts.load_keys(pose_d, trim=False)
     S = args.image_size or 224
-    images, sils, R_gt, t_gt, K, diam = load_data(args, S)
+    # evaluated images are the OTHER half's ("inference for second
+    # sequence", inference.py:159-163)
+    images, sils, R_gt, t_gt, K, diam = load_other_half(args, S)
 
     cnn = ResNetUNet()
     ckpt = os.path.join(pose_d, "encoderRGBlatest")
@@ -447,7 +474,7 @@ def cmd_inference(args):
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import InferenceConfig
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import bop as bop_io
 
-        frame_ids = bop_io.half_sequence_ids(args.dataset, int(args.UH))
+        frame_ids = bop_io.half_sequence_ids(args.dataset, 1 - int(args.UH))
         if args.fsamps:
             frame_ids = frame_ids[: args.fsamps]
         if args.id >= 0:
@@ -460,14 +487,25 @@ def cmd_inference(args):
         correct_ids = []
         verts_j = jnp.asarray(verts, jnp.float32)
         verts_m = verts_j[:n_real]  # metric cloud without the cycled pad tail
-        m = metrics.adds_metric if args.dataset == "tless" else metrics.add_metric
+        # Metric clouds exactly as the reference: the ADD/ADDS query cloud
+        # is the CAD model's vertices (inference.py:84 `mesh1` -> :301-305
+        # `modelVerts`) and ADDS NN-targets the BAKED surface cloud
+        # (inference.py:118-120 `surfacePointsScaled`).
+        try:
+            metric_verts = jnp.asarray(bop_io.load_cad_points(ds, args.objid), jnp.float32)
+        except OSError:
+            metric_verts = verts_m  # no CAD ply on disk — baked cloud fallback
+        if args.dataset == "tless":
+            m = functools.partial(metrics.adds_metric, surface_points=verts_m)
+        else:
+            m = metrics.add_metric
         for a, i in enumerate(full.ids):
             key, sub = jax.random.split(key)
             est = inference.estimate_pose_full_frame(
                 cnn, cnn_params, full.frames[a], full.masks[a], full.K[a],
                 verts_j, jnp.asarray(feats, jnp.float32), sub, cfg=InferenceConfig(),
             )
-            err = float(m(verts_m, jnp.asarray(full.R[a], jnp.float32),
+            err = float(m(metric_verts, jnp.asarray(full.R[a], jnp.float32),
                           jnp.asarray(full.t[a], jnp.float32), est.R, est.t))
             tot += 1
             if err < 0.1 * diam:
@@ -539,7 +577,8 @@ def cmd_rel_poses(args):
             R = np.load(os.path.join(exp, f"{args.objid}pred_R.npy"))
             t = np.load(os.path.join(exp, f"{args.objid}pred_t.npy"))
         else:
-            images, sils, R, t, K, diam = load_data(args, 64)
+            # GT of the estimated (OTHER-half) images (choosePose.py:79-89)
+            images, sils, R, t, K, diam = load_other_half(args, 64)
         rel_R, rel_t = registration.relative_pose_tensor(
             jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)
         )
@@ -597,8 +636,11 @@ def cmd_icp(args):
     pred_R = np.load(os.path.join(exp0, f"{args.objid}pred_R.npy"))[chosen]
     pred_t = np.load(os.path.join(exp0, f"{args.objid}pred_t.npy"))[chosen]
     if args.synthetic:
+        # GT pose of the chosen image — an OTHER-half (UH=1) image, since
+        # the 0_ experiment's pred poses are of ids 0..1279 (icp.py:59-64
+        # reads scene_gt[str(id_chosen)] = an upper-half id)
         args.UH = 0
-        images, sils, R, t, K, diam = load_data(args, 64)
+        images, sils, R, t, K, diam = load_other_half(args, 64)
         gt_R, gt_t = R[chosen], t[chosen]
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
         import jax as _jax
