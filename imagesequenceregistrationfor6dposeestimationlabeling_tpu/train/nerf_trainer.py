@@ -98,6 +98,34 @@ def init_state(
     return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
+# Empirical libtpu fault (EXPERIMENTS.md round 4): the fused Pallas field
+# kernel inside a >=10-step scanned train program crashes the TPU worker
+# ("kernel fault") once the resident view bank grows past ~300 MB — 640
+# views @ 224^2 faults reproducibly, 256 views is fine; the flax path is
+# fine at any size.  Until root-caused, AUTO-enabled kernels fall back to
+# flax above this bank size; an explicit fused_kernel=True still forces
+# the kernel (the caller owns the risk).
+_KERNEL_VIEWBANK_LIMIT = 256 * 1024 * 1024
+
+
+def _kernel_safe_field(field: fields.NerfField, *banks):
+    cfg = field.cfg
+    if getattr(cfg, "fused_kernel", None) is not None or not field_kernel.enabled(cfg):
+        return field
+    nbytes = sum(int(np.prod(b.shape)) * jnp.dtype(b.dtype).itemsize for b in banks)
+    if nbytes <= _KERNEL_VIEWBANK_LIMIT:
+        return field
+    print(
+        f"train_nerf: view bank {nbytes / 1e6:.0f} MB > "
+        f"{_KERNEL_VIEWBANK_LIMIT / 1e6:.0f} MB — using the flax field path "
+        "(fused Pallas kernel faults libtpu at large resident banks; "
+        "EXPERIMENTS.md round 4)"
+    )
+    import dataclasses
+
+    return fields.NerfField(dataclasses.replace(cfg, fused_kernel=False))
+
+
 def make_train_step(
     field: fields.NerfField,
     tx: optax.GradientTransformation,
@@ -350,6 +378,7 @@ def train_nerf_fused(
     """
     if mesh == "auto":
         mesh = mesh_lib.auto_mesh()
+    field = _kernel_safe_field(field, images, sils)
     H, n = images.shape[0], images.shape[1]
     S = images.shape[2]
     min_d, max_d = depth_bounds(np.asarray(t_bop).reshape(-1, 3), depth_margin)
@@ -468,6 +497,7 @@ def train_nerf(
     """
     if mesh == "auto":
         mesh = mesh_lib.auto_mesh()
+    field = _kernel_safe_field(field, images, sils)
     S = images.shape[1]
     cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
     min_d, max_d = depth_bounds(t_bop, depth_margin)

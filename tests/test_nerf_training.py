@@ -79,3 +79,4 @@ def test_point_cloud_on_surface(trained):
     ) - np.asarray(synthetic._RADII)[None]
     sdf = np.abs(d.min(-1))
     assert np.median(sdf) < 0.12, np.median(sdf)
+

@@ -143,3 +143,28 @@ def test_image_grid_tiles_and_validates():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_kernel_safe_field_falls_back_at_large_view_banks(monkeypatch):
+    """Round-4 libtpu fault guard: AUTO-enabled fused kernel must fall back
+    to the flax path once the resident view bank exceeds the limit; an
+    explicit fused_kernel=True must be left alone."""
+    import jax.numpy as jnp
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as f
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import nerf_trainer as nt
+
+    # pretend the kernel would auto-enable (CPU backend disables it otherwise)
+    monkeypatch.setattr(nt.field_kernel, "enabled",
+                        lambda cfg: getattr(cfg, "fused_kernel", None) is not False)
+    auto = f.NerfField(FieldConfig(act_dtype="bfloat16"))
+    small = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    big_shape = type("B", (), {"shape": (1280, 224, 224, 3), "dtype": jnp.float32})()
+
+    assert nt._kernel_safe_field(auto, small, small) is auto
+    guarded = nt._kernel_safe_field(auto, big_shape)
+    assert guarded is not auto and guarded.cfg.fused_kernel is False
+
+    forced = f.NerfField(FieldConfig(act_dtype="bfloat16", fused_kernel=True))
+    assert nt._kernel_safe_field(forced, big_shape) is forced
