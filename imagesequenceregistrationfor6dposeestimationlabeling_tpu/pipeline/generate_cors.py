@@ -303,18 +303,37 @@ def generate_cors(
         cfg.density_threshold, cfg.mesh_filter_dist, cfg.back_len_div,
     )
     if len(pending) == n_views:
-        # fresh run: ALL views in one device program (lax.map over views),
-        # then ONE device->host fetch of the whole result — per-view
+        # fresh run: views batched into one device program per BLOCK (lax.map
+        # over views), then ONE device->host fetch per block — per-view
         # np.asarray compaction would cost 5 arrays x V views of ~50 ms
-        # relay round-trips each (seconds of pure dispatch per half)
+        # relay round-trips each (seconds of pure dispatch per half).
+        # Blocks are capped at `view_block`: a single program over 1280
+        # views at 224^2 runs for tens of minutes and trips the TPU
+        # worker's watchdog ("worker crashed", EXPERIMENTS.md round 4);
+        # blocks also bound HBM for the fetched result.  Runs with
+        # <= view_block views (the bench) keep their exact single-program
+        # shape and compile cache.
+        view_block = int(os.environ.get("CORS_VIEW_BLOCK", "128"))
         sels = np.stack([view_sel(i)[0] for i in pending])
         vals = np.stack([view_sel(i)[1] for i in pending])
-        out = jax.device_get(views_surface_hits(
-            field, params, cam_all, jnp.asarray(sels), jnp.asarray(vals), *hit_args,
-            mesh=mesh,
-        ))
-        for v, i in enumerate(pending):
-            save_view(i, out, v)
+        for b0 in range(0, n_views, view_block):
+            blk = list(range(b0, min(b0 + view_block, n_views)))
+            real = len(blk)
+            if b0 > 0 and real < view_block:
+                # pad the tail block to the same compiled shape
+                blk = blk + [blk[-1]] * (view_block - real)
+            cam_blk = cam_lib.Camera(
+                cam_all.R[np.asarray(blk)], cam_all.T[np.asarray(blk)],
+                cam_all.focal[np.asarray(blk)], cam_all.principal[np.asarray(blk)],
+                cam_all.image_size,
+            )
+            out = jax.device_get(views_surface_hits(
+                field, params, cam_blk,
+                jnp.asarray(sels[np.asarray(blk)]), jnp.asarray(vals[np.asarray(blk)]),
+                *hit_args, mesh=mesh,
+            ))
+            for v, i in enumerate(blk[:real]):
+                save_view(i, out, v)
     else:
         # partial resume: per-view programs for just the missing views
         # (idempotent skip, generateCors.py:277-278)

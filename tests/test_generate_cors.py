@@ -133,3 +133,34 @@ def test_resume_per_view_matches_batched(cors_run):
     redone = artifacts.load_view_rays(cors, S, 2)
     for a, b in zip(orig, redone):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_generate_cors_view_blocks_match_single_program(tmp_path, monkeypatch):
+    """Round 4: large view counts run one program per block (the 1280-view
+    single program tripped the TPU worker watchdog).  Blocked output must
+    equal the single-program output, including a padded tail block."""
+    import os
+
+    scene = synthetic.make_scene(n_views=5, image_size=32)
+    field = synthetic.AnalyticField()
+    cfg = CorsConfig(
+        render_size=32, grid_pts_per_ray=64, density_threshold=0.5,
+        mesh_filter_dist=0.15, outlier_nb_points=4, outlier_radius=0.2,
+        n_subsurface=200, normals_k=48,
+    )
+    out_a = str(tmp_path / "single")
+    cors_a = generate_cors.generate_cors(
+        field, None, scene.R_bop, scene.t_bop, scene.K, scene.sils, out_a, 1,
+        cfg, grid_res=40,
+    )
+    monkeypatch.setenv("CORS_VIEW_BLOCK", "2")  # 5 views -> 2+2+padded tail
+    out_b = str(tmp_path / "blocked")
+    cors_b = generate_cors.generate_cors(
+        field, None, scene.R_bop, scene.t_bop, scene.K, scene.sils, out_b, 1,
+        cfg, grid_res=40,
+    )
+    for i in range(5):
+        a = artifacts.load_view_rays(cors_a, 32, i)
+        b = artifacts.load_view_rays(cors_b, 32, i)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
