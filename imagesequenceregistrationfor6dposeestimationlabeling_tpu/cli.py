@@ -38,6 +38,20 @@ def _lazy():
 
 def load_data(args, image_size):
     jax, jnp = _lazy()
+    if getattr(args, "synthetic_mesh", False):
+        # mesh-rasterized synthetic data — the reference's synth=True cow
+        # branch (trainNerfFine.py:84-87, cowrendersynth.py:1189-1336)
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import mesh_scene
+
+        scene = mesh_scene.make_mesh_scene(
+            n_views=args.synthetic_views, image_size=image_size,
+            key=jax.random.PRNGKey(int(args.UH)),
+        )
+        diam = scene.diameter
+        return (
+            scene.images, scene.sils, scene.R_bop,
+            scene.t_bop * (diam / 1.8), scene.K, diam,
+        )
     if args.synthetic:
         from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
 
@@ -759,6 +773,9 @@ def build_parser():
         sp.add_argument("--bop-root", default="bop")
         sp.add_argument("--cont", action="store_true")
         sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--synthetic-mesh", action="store_true",
+                        help="mesh-rasterized synthetic data (the reference's "
+                             "cow-render branch, cowrendersynth.py:1189-1336)")
         sp.add_argument("--synthetic-views", default=8, type=int)
         sp.add_argument("--fsamps", default=0, type=int)
         sp.add_argument("--steps", default=0, type=int)
