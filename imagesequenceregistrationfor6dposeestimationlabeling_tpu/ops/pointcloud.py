@@ -13,10 +13,12 @@ mask so padded (static-shape) clouds work under jit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import mesh as mesh_lib
 
@@ -175,7 +177,26 @@ def knn(
     return jnp.sqrt(best_d), best_i
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples",))
+@functools.partial(jax.jit, static_argnames=("block",))
+def _fps_block(pts, valid, min_d, last, block: int):
+    """One bounded FPS program: `block` sequential selections.
+
+    Returns the updated running min-distance, the last selected index,
+    and the `block` indices selected this program.
+    """
+
+    def body(i, carry):
+        min_d, last, idxs = carry
+        d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(jnp.where(valid, min_d, -1.0)).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d, nxt, idxs
+
+    idxs0 = jnp.zeros((block,), jnp.int32)
+    return jax.lax.fori_loop(0, block, body, (min_d, last, idxs0))
+
+
 def farthest_point_sampling(
     pts: jnp.ndarray, n_samples: int, mask: Optional[jnp.ndarray] = None, key=None
 ) -> jnp.ndarray:
@@ -184,25 +205,35 @@ def farthest_point_sampling(
 
     Iterative argmax over running min-distance: O(K*N), each step a fused
     VPU pass — MXU not needed.
+
+    Host-blocked: selections run in bounded programs of FPS_BLOCK
+    iterations each, with the (min_d, last) state carried on device and
+    one small fetch per block.  A single 80k-selection fori_loop over a
+    ~1.3M-point cloud (1280 views x 20 loops x 50 rays) runs for minutes
+    and trips the TPU worker watchdog ("worker crashed", EXPERIMENTS.md
+    round 4) — the same failure generate_cors hit before view-blocking.
+    Runs with n_samples-1 <= FPS_BLOCK keep a single program, and the
+    block decomposition is bit-identical to the monolithic loop (same
+    op sequence, just partitioned — tested in test_pointcloud.py).
     """
     n = pts.shape[0]
-    valid = jnp.ones((n,), bool) if mask is None else mask
-    start = jnp.argmax(valid)  # first valid point
-
-    def body(i, carry):
-        min_d, idxs = carry
-        last = pts[idxs[i - 1]]
-        d = jnp.sum((pts - last) ** 2, axis=-1)
-        min_d = jnp.minimum(min_d, d)
-        min_d_masked = jnp.where(valid, min_d, -1.0)
-        nxt = jnp.argmax(min_d_masked)
-        idxs = idxs.at[i].set(nxt)
-        return min_d, idxs
-
-    idxs0 = jnp.zeros((n_samples,), jnp.int32).at[0].set(start)
-    min_d0 = jnp.full((n,), _BIG)
-    _, idxs = jax.lax.fori_loop(1, n_samples, body, (min_d0, idxs0))
-    return idxs
+    pts = jnp.asarray(pts)
+    valid = jnp.ones((n,), bool) if mask is None else jnp.asarray(mask)
+    start = jnp.argmax(valid).astype(jnp.int32)  # first valid point
+    if n_samples <= 1:
+        return start[None][:n_samples]
+    block = min(int(os.environ.get("FPS_BLOCK", "8192")), n_samples - 1)
+    min_d = jnp.full((n,), _BIG)
+    last = start
+    chunks = [np.asarray(start)[None]]
+    remaining = n_samples - 1
+    while remaining > 0:
+        min_d, last, idxs = _fps_block(pts, valid, min_d, last, block)
+        take = min(block, remaining)
+        # the fetch syncs: bounds the in-flight program chain on the relay
+        chunks.append(np.asarray(jax.device_get(idxs))[:take])
+        remaining -= take
+    return jnp.asarray(np.concatenate(chunks).astype(np.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("nb_points", "chunk"))

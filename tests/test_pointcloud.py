@@ -63,6 +63,25 @@ def test_fps_unique_indices(rng):
     assert len(np.unique(idx)) == 50
 
 
+def test_fps_blocked_matches_single_program(rng, monkeypatch):
+    # host-blocked decomposition (FPS_BLOCK programs) is bit-identical to
+    # one monolithic program: same op sequence, just partitioned
+    pts = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(300,)) > 0.2)
+    monkeypatch.setenv("FPS_BLOCK", "100000")  # single block
+    ref = np.asarray(pc.farthest_point_sampling(pts, 64, mask))
+    monkeypatch.setenv("FPS_BLOCK", "7")  # 9 blocks + trimmed tail
+    blk = np.asarray(pc.farthest_point_sampling(pts, 64, mask))
+    np.testing.assert_array_equal(ref, blk)
+
+
+def test_fps_single_sample(rng):
+    pts = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+    idx = np.asarray(pc.farthest_point_sampling(pts, 1))
+    assert idx.shape == (1,)
+    assert idx[0] == 0
+
+
 def test_radius_outlier_removes_isolated(rng):
     cluster = rng.normal(size=(100, 3)) * 0.05
     outliers = np.array([[5.0, 5, 5], [-4, 4, 4]])
