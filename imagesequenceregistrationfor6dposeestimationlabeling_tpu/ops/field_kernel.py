@@ -53,6 +53,18 @@ import os as _os
 # tile-size experiments (experiments/field_kernel_probe.py sweep)
 _TILE_PTS = int(_os.environ.get("FIELD_KERNEL_TILE", "1024"))
 
+# Mosaic's scoped-VMEM budget: the compiler default (~16 MiB) is what
+# capped the tile sweep at 1024 (2048 needs 24.25 MiB, EXPERIMENTS.md) —
+# v5e has 128 MiB of VMEM, so raise the cap and leave headroom for
+# double-buffered block DMA.  Env override for sweeps.
+_VMEM_LIMIT = int(_os.environ.get("FIELD_KERNEL_VMEM_MB", "96")) * 2**20
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT,
+    )
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -322,8 +334,7 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
                 jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
                 jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )(pts, dirs_g, jnp.asarray(fmat), w1s, w1c, b1, w2, b2, wd, bd,
           wc1h, wc1ds, wc1dc, bc1, wc2, bc2)
@@ -382,8 +393,7 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
             out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in (
                 (H3, C), (H3, C), (1, C), (C, C), (1, C), (C, 1), (1, 1),
                 (C, C), (H3, C), (H3, C), (1, C), (C, 3), (1, 3))],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )(pts_p, dirs_g, jnp.asarray(fmat), w2, wd, wc1h, wc2, h1, h2, c1,
           es, ec, dens, rgb, gdens, grgb)

@@ -79,6 +79,16 @@ def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 
 
+def largest_divisor_mesh_size(batch: int, n_devices: int) -> int:
+    """Largest d <= n_devices with batch % d == 0 — the widest data mesh a
+    non-divisible batch can still shard over (instead of falling all the
+    way back to one device)."""
+    for d in range(min(batch, n_devices), 0, -1):
+        if batch % d == 0:
+            return d
+    return 1
+
+
 def cached_or_fresh(cache_fn, fresh_fn, *key):
     """Use the lru_cache'd factory when the key is hashable, else build
     fresh.  Probes hash() explicitly so a genuine TypeError raised INSIDE

@@ -136,8 +136,17 @@ def test_train_pose_mesh_matches_single_device():
 
 
 @pytest.mark.slow
+def test_largest_divisor_mesh_size():
+    assert mesh_lib.largest_divisor_mesh_size(16, 8) == 8
+    assert mesh_lib.largest_divisor_mesh_size(12, 8) == 6
+    assert mesh_lib.largest_divisor_mesh_size(3, 8) == 3
+    assert mesh_lib.largest_divisor_mesh_size(7, 4) == 1
+    assert mesh_lib.largest_divisor_mesh_size(1, 8) == 1
+
+
 def test_train_pose_nondivisible_batch_falls_back():
-    """bs=3 does not divide 8 devices -> runs replicated, still correct."""
+    """bs=3 does not divide 8 devices -> shrinks to a 3-device sub-mesh
+    (the widest that divides), still correct."""
     size, n_views = 32, 3
     scene = _tiny_scene(n_views, size)
     bank, neg = _pose_inputs(scene, n_views, size)
