@@ -181,6 +181,107 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
     rgb_ref[:] = rgb.reshape(Rt, P, 3)
 
 
+# ------------------------------------------------- density-only forward
+
+
+def _dens_kernel(pts_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
+                 b2_ref, wd_ref, bd_ref, dens_ref, *, beta):
+    """embed -> trunk -> density head for a flat tile of points.
+
+    The inference-time density evaluator: no residuals, no color head —
+    the only HBM traffic is the (T, 3) points in and (T, 1) densities
+    out.  Serves the fwd-only hot paths (correspondence precompute's
+    front/back passes, the 128^3 surface grid, MC surface-hit sampling:
+    generateCors.py:300-332, nerf.py:640-703, trainPose.py:319-334)."""
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    ang = _angles(pts_ref[:], fmat_ref[:])
+    es = jnp.sin(ang).astype(bf)
+    ec = jnp.cos(ang).astype(bf)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
+                     + b1_ref[:], beta)
+    h2 = _softplus_b(mm(h1.astype(bf), w2_ref[:].astype(bf)) + b2_ref[:], beta)
+    raw = _softplus_b(jnp.dot(h2, wd_ref[:], preferred_element_type=f32)
+                      + bd_ref[:], beta)
+    dens_ref[:] = 1.0 - jnp.exp(-raw)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dens_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
+    fmat = _freq_matrix(n_harmonic, omega0)
+    tile = int(_os.environ.get("FIELD_DENSITY_TILE", "4096"))
+
+    def run(weights, flat_pts):
+        w1s, w1c, b1, w2, b2, wd, bd = weights
+        n = flat_pts.shape[0]
+        t = min(tile, max(n, 8))
+        pad = (-n) % t
+        if pad:
+            flat_pts = jnp.pad(flat_pts, ((0, pad), (0, 0)))
+        full = lambda i: (0, 0)
+        dens = pl.pallas_call(
+            functools.partial(_dens_kernel, beta=beta),
+            grid=((n + pad) // t,),
+            in_specs=[
+                pl.BlockSpec((t, 3), lambda i: (i, 0)),
+                pl.BlockSpec(fmat.shape, full),
+                pl.BlockSpec(w1s.shape, full), pl.BlockSpec(w1c.shape, full),
+                pl.BlockSpec(b1.shape, full),
+                pl.BlockSpec(w2.shape, full), pl.BlockSpec(b2.shape, full),
+                pl.BlockSpec(wd.shape, full), pl.BlockSpec(bd.shape, full),
+            ],
+            out_specs=pl.BlockSpec((t, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n + pad, 1), jnp.float32),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(flat_pts, jnp.asarray(fmat), w1s, w1c, b1, w2, b2, wd, bd)
+        return dens[:n]
+
+    return run
+
+
+def field_density(params, pts, cfg, interpret: bool | None = None):
+    """Fused-kernel equivalent of ``field.apply(params, pts,
+    method=field.density)``: densities (..., 1) fp32 for points of any
+    leading shape.  Forward-only (the callers never differentiate through
+    density-grid/correspondence evals) — differentiating through it
+    raises, by design."""
+    pr = params["params"]
+    H = cfg.n_harmonic_functions
+    w1 = pr["trunk1"]["kernel"]
+    weights = (
+        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
+        pr["trunk2"]["kernel"], pr["trunk2"]["bias"][None, :],
+        pr["density_layer"]["kernel"], pr["density_layer"]["bias"][None, :],
+    )
+    if interpret is None:
+        interpret = _interpret_default()
+    run = _make_dens_op(float(cfg.softplus_beta), int(H), float(cfg.omega0),
+                        bool(interpret))
+    lead = pts.shape[:-1]
+    flat = jax.lax.stop_gradient(pts).reshape(-1, 3)
+    return run(weights, flat).reshape(*lead, 1)
+
+
+def density_eval_fn(field, params, interpret: bool | None = None):
+    """``pts -> densities (..., 1)``, fused on TPU when the field is
+    configured for the kernel (see ``enabled``), flax otherwise.
+
+    NOTE: the fused path is a Pallas custom call — XLA's auto-SPMD cannot
+    partition it, so callers running under sharding constraints on a
+    >1-device mesh must pass the flax path (or shard_map it themselves,
+    as make_train_step does for the color kernel)."""
+    cfg = getattr(field, "cfg", None)  # analytic test fields carry no cfg
+    if cfg is None or not enabled(cfg):
+        return lambda pts: field.apply(params, pts, method=field.density)
+    return lambda pts: field_density(params, pts, cfg, interpret)
+
+
 # ------------------------------------------------------------ backward
 
 

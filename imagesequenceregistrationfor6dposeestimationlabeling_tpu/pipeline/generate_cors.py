@@ -30,7 +30,7 @@ import numpy as np
 
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import CorsConfig
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
-from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import mcubes
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel, mcubes
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import pointcloud as pc
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.pipeline import artifacts
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch, renderer
@@ -67,7 +67,9 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     return mverts, sub, normals
 
 
-@functools.partial(jax.jit, static_argnames=("field", "image_size", "n_pts"))
+@functools.partial(
+    jax.jit, static_argnames=("field", "image_size", "n_pts", "use_kernel")
+)
 def view_surface_hits(
     field,
     params,
@@ -83,6 +85,7 @@ def view_surface_hits(
     threshold: float,
     mesh_dist: float,
     back_div: float,
+    use_kernel: bool = True,
 ):
     """One view's front + back surface hits over a fixed budget of
     silhouette pixels (``sel_idx``: (M,) flat row-major indices, padded;
@@ -90,18 +93,28 @@ def view_surface_hits(
     the reference's maskRays=True (pren.py:207-213, generateCors.py:300) —
     it cuts the render cost by the background fraction (~2-3x).
 
+    Both passes are density-only: the reference renders mode='feature'
+    here (generateCors.py:300) but never uses the composited features —
+    only the weights (for posVec) — so evaluating the feature head per
+    sample point would be pure waste.  ``use_kernel=False`` forces the
+    flax density path (required under a >1-device mesh: XLA auto-SPMD
+    cannot partition the Pallas custom call).
+
     Returns dict of arrays + validity masks.
     """
+    dens_fn = field_kernel.density_eval_fn(field, params) if use_kernel else (
+        lambda pts: field.apply(params, pts, method=field.density))
 
     def field_fn(pts, dirs, mode):
-        return field.apply(params, pts, dirs, mode)
+        dens = dens_fn(pts)
+        return dens, dens  # composited "features" are discarded by this caller
 
     # Front pass: silhouette-pixel rays, thresholded EA weights.
     bundle = cam_lib.rays_at_pixels(cam, sel_idx, image_size, n_pts, min_depth, max_depth)
     images, weights = renderer.render_rays_chunked(
         field_fn,
         bundle,
-        mode="feature",
+        mode="density",
         threshold_mode=True,
         threshold=threshold,
         chunk=min(32768, sel_idx.shape[0]),
@@ -118,8 +131,7 @@ def view_surface_hits(
     def back_density(args):
         o, d, l = args
         pts = o[:, None, :] + d[:, None, :] * l[:, :, None]
-        dens = field.apply(params, pts, method=field.density)
-        return dens[..., 0]
+        return dens_fn(pts)[..., 0]
 
     chunk = min(32768, sel_idx.shape[0])
     n = back.origins.shape[0]
@@ -170,13 +182,15 @@ def views_surface_hits(
     vmapped with the view axis sharded over 'data', so every device owns
     one view's render (SURVEY §2c view-axis DP for this stage)."""
 
+    multi = mesh is not None and mesh.devices.size > 1
+
     def one(args):
         R, T, f, p, si, sv = args
         cam = cam_lib.Camera(R, T, f, p, image_size)
         return view_surface_hits(
             field, params, cam, si, sv, mverts_pad, mverts_mask,
             image_size, n_pts, min_depth, max_depth, threshold, mesh_dist,
-            back_div,
+            back_div, use_kernel=not multi,
         )
 
     args = (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)

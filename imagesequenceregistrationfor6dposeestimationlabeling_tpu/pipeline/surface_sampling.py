@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.geometry import cameras as cam_lib
+from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch
 
 
@@ -51,7 +52,7 @@ def _hits_one_view(
     u = jax.random.uniform(k_z, (n_rays, n_pts))
     lengths = edges[:-1] + (edges[1:] - edges[:-1]) * u
     pts = origins[:, None, :] + dirs[:, None, :] * lengths[:, :, None]
-    dens = field.apply(params, pts, method=field.density)[..., 0]
+    dens = field_kernel.density_eval_fn(field, params)(pts)[..., 0]
     dens = raymarch.threshold_densities(dens, threshold)
     w = raymarch.ea_weights(dens)
     hits = raymarch.surface_points(origins, dirs, lengths, w)

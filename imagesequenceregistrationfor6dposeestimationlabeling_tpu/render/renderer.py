@@ -219,9 +219,13 @@ def _density_grid_fn(field, grid_res: int, chunk: int):
     re-jit a params-closure per call, re-tracing the chunked lax.map every
     time (seconds of host time on a 1-CPU box)."""
 
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
+
     def run(params):
+        # fused density kernel on TPU when the field is kernel-configured
+        # (the 128^3 grid is 2.1M pure density evals, nerf.py:676-687)
         return density_grid(
-            lambda pts: field.apply(params, pts, method=field.density),
+            field_kernel.density_eval_fn(field, params),
             grid_res=grid_res, chunk=chunk,
         )
 

@@ -45,6 +45,52 @@ def test_forward_pads_ragged_ray_count():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_density_matches_flax():
+    cfg, field, params, pts, _ = _setup()
+    dens_k = field_kernel.field_density(params, pts, cfg, interpret=True)
+    dens_f = field.apply(params, pts, method=field.density)
+    assert dens_k.shape == dens_f.shape
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_density_ragged_and_flat_shapes(monkeypatch):
+    # a non-tile-multiple flat cloud exercises the pad/slice path; a tiny
+    # tile exercises multi-tile grids
+    monkeypatch.setenv("FIELD_DENSITY_TILE", "16")
+    field_kernel._make_dens_op.cache_clear()
+    cfg, field, params, pts, _ = _setup(R=1, P=1)
+    flat = jax.random.normal(jax.random.PRNGKey(7), (37, 3)) * 0.5
+    dens_k = field_kernel.field_density(params, flat, cfg, interpret=True)
+    dens_f = field.apply(params, flat, method=field.density)
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+    field_kernel._make_dens_op.cache_clear()
+
+
+def test_density_eval_fn_dispatch():
+    cfg, field, params, pts, _ = _setup()
+    # flax path on CPU (enabled() is False off-TPU)
+    fn = field_kernel.density_eval_fn(field, params)
+    dens = fn(pts)
+    dens_f = field.apply(params, pts, method=field.density)
+    np.testing.assert_allclose(np.asarray(dens), np.asarray(dens_f))
+
+
+def test_density_under_vmap():
+    # surface_sampling vmaps the per-view eval over cameras
+    cfg, field, params, pts, _ = _setup()
+    batch = jnp.stack([pts, pts * 0.5])
+
+    def per_view(p):
+        return field_kernel.field_density(params, p, cfg, interpret=True)
+
+    dens_v = jax.vmap(per_view)(batch)
+    dens_f = field.apply(params, batch, method=field.density)
+    np.testing.assert_allclose(np.asarray(dens_v), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+
+
 def _loss_weights(mode_fn, params, pts, dirs):
     dens, rgb = mode_fn(params, pts, dirs)
     # mix both heads so every weight matrix gets a gradient
