@@ -34,6 +34,9 @@ IMG = int(os.environ.get("DS_IMG", 224))
 NERF_STEPS = int(os.environ.get("DS_NERF_STEPS", 2500))
 POSE_STEPS = int(os.environ.get("DS_POSE_STEPS", 10000))
 N_INFER = int(os.environ.get("DS_INFER", 16))
+# optional suffix so ablation reruns (e.g. scaled NeRF steps) don't
+# overwrite the canonical dscale_<views>v_<steps>s checkpoint dir
+TAG = os.environ.get("DS_TAG", "")
 _CACHE = os.path.join(_REPO, ".bench_cache")
 
 
@@ -119,7 +122,8 @@ def main():
     # phase is hours; everything else regenerates in minutes)
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
 
-    save_dir = os.path.join(_CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s")
+    save_dir = os.path.join(
+        _CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s" + (f"_{TAG}" if TAG else ""))
     checkpoint.save(os.path.join(save_dir, "encoderRGBlatest"), pstate.cnn_params, POSE_STEPS)
     checkpoint.save(os.path.join(save_dir, "nerflatest"), pstate.nerf_params, POSE_STEPS)
     print(f"trained params -> {save_dir}", flush=True)
