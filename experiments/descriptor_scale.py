@@ -37,6 +37,10 @@ N_INFER = int(os.environ.get("DS_INFER", 16))
 # optional suffix so ablation reruns (e.g. scaled NeRF steps) don't
 # overwrite the canonical dscale_<views>v_<steps>s checkpoint dir
 TAG = os.environ.get("DS_TAG", "")
+# which half-sequence to train on (inference runs on the OTHER half) —
+# the reference labels both halves by running the pipeline twice
+# (README.md:52-60); DS_TRAIN_HALF=1 measures the mirrored direction
+TRAIN_HALF = int(os.environ.get("DS_TRAIN_HALF", 0))
 _CACHE = os.path.join(_REPO, ".bench_cache")
 
 
@@ -69,8 +73,9 @@ def main():
     timings = {}
     t0 = time.perf_counter()
 
-    scene0 = load_scene_cached(0, N_VIEWS, IMG, cache_dir=_CACHE)
-    scene1 = load_scene_cached(1, max(N_INFER, 16), IMG, cache_dir=_CACHE)
+    scene0 = load_scene_cached(TRAIN_HALF, N_VIEWS, IMG, cache_dir=_CACHE)
+    scene1 = load_scene_cached(1 - TRAIN_HALF, max(N_INFER, 16), IMG,
+                               cache_dir=_CACHE)
     diam = scene0.diameter
     scale = diam / 1.8
     timings["data"] = round(time.perf_counter() - t0, 1)
@@ -123,7 +128,8 @@ def main():
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
 
     save_dir = os.path.join(
-        _CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s" + (f"_{TAG}" if TAG else ""))
+        _CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s"
+        + ("_h1" if TRAIN_HALF else "") + (f"_{TAG}" if TAG else ""))
     checkpoint.save(os.path.join(save_dir, "encoderRGBlatest"), pstate.cnn_params, POSE_STEPS)
     checkpoint.save(os.path.join(save_dir, "nerflatest"), pstate.nerf_params, POSE_STEPS)
     print(f"trained params -> {save_dir}", flush=True)
@@ -169,7 +175,8 @@ def main():
     timings["total"] = round(time.perf_counter() - t0, 1)
 
     print(json.dumps({
-        "views": N_VIEWS, "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
+        "views": N_VIEWS, "train_half": TRAIN_HALF,
+        "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
         "n_keys": n_real, "n_keys_padded": int(verts_scaled.shape[0]),
         "pose_correct": f"{correct}/{N_INFER}",
         "median_add": round(float(np.median(adds)), 4),

@@ -104,7 +104,9 @@ def main():
         def vf(p, x, d):
             return jax.vmap(loss_f)(p, x, d).sum()
 
-        for tag, fn in (("kernel", vk), ("flax  ", vf)):
+        variants = (("kernel", vk),) if os.environ.get("PROBE_SKIP_FLAX") else (
+            ("kernel", vk), ("flax  ", vf))
+        for tag, fn in variants:
             hi = timed(fn, params, pts, dirs, ITERS)
             lo = timed(fn, params, pts, dirs, ITERS // 5)
             per = (hi - lo) / (ITERS - ITERS // 5)
