@@ -115,10 +115,77 @@ def main():
     )
     print(f"negatives: {neg.shape}", flush=True)
     aug_cfg = aug_lib.AugmentConfig(crop_res=IMG, min_mask_sum=10.0, p_distractor=0.3)
-    pstate, cnn, plosses = pose_trainer.train_pose(
-        field, state.params_fine, scene0.images, scene0.sils, bank, neg,
-        cfg=cfg, aug_cfg=aug_cfg, n_steps=POSE_STEPS, steps_per_call=50,
-    )
+
+    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:N_INFER])))
+    Ks = np.asarray(scene1.K[:N_INFER]).astype(np.float32)
+    Ks[:, 0:2, 2] -= 0.5
+    thresh = 0.1 * diam * scale
+
+    def bake(nerf_params):
+        v, f, nrm = gen_feat.gen_feat(
+            field, nerf_params, scene0.R_bop, scene0.t_bop, scene0.K,
+            scene0.sils, diam, exp0, 1, FeatConfig(mc_threshold=0.05),
+            image_size=IMG, threshold=0.2,
+        )
+        n_keys_p = os.path.join(artifacts.pose_dir(exp0, 1), "n_keys.npy")
+        n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else v.shape[0]
+        return v, f, nrm, n_real
+
+    def eval_adds(cnn, cnn_params, verts_scaled, feats, n_real):
+        pred_R, pred_t = inference.run_sequence(
+            cnn, cnn_params, imgs_n, np.asarray(scene1.sils[:N_INFER]), Ks,
+            verts_scaled, feats, cfg=InferenceConfig(), batch=min(8, N_INFER),
+        )
+        # metric cloud without the cycled pad tail (duplicates would
+        # double-weight the cycled prefix in the ADD mean)
+        verts_j = jnp.asarray(verts_scaled[:n_real], jnp.float32)
+        return [
+            float(metrics.add_metric(
+                verts_j, jnp.asarray(scene1.R_bop[i]),
+                jnp.asarray(scene1.t_bop[i]) * scale,
+                jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
+            for i in range(N_INFER)
+        ]
+
+    # DS_EVAL_EVERY>0 trains in segments with a held-out ADD eval (bake +
+    # infer on the other half) after each, and keeps the BEST checkpoint —
+    # train-InfoNCE is not a quality proxy for the descriptor phase
+    # (EXPERIMENTS.md round-4 cross-eval: a lower-loss CNN can collapse on
+    # novel views), so model selection must use the held-out metric.
+    eval_every = int(os.environ.get("DS_EVAL_EVERY", 0))
+    plosses = []
+    step_curve = []
+    best = None  # (correct, -median, step, pstate)
+    if eval_every:
+        pstate = None
+        done = 0
+        while done < POSE_STEPS:
+            # n_steps is the TOTAL step target when resuming (train_pose
+            # replays the RNG/batch schedule from resume_state.step)
+            done = min(done + eval_every, POSE_STEPS)
+            pstate, cnn, pl = pose_trainer.train_pose(
+                field, state.params_fine, scene0.images, scene0.sils, bank,
+                neg, cfg=cfg, aug_cfg=aug_cfg, n_steps=done,
+                steps_per_call=50, resume_state=pstate,
+            )
+            plosses.extend(np.asarray(pl).tolist())
+            v, f, nrm, n_real = bake(pstate.nerf_params)
+            adds = eval_adds(cnn, pstate.cnn_params, v, f, n_real)
+            ok = int(sum(a < thresh for a in adds))
+            med = float(np.median(adds))
+            step_curve.append({"step": done, "correct": f"{ok}/{N_INFER}",
+                               "median_add": round(med, 4)})
+            print(f"eval @{done}: {ok}/{N_INFER} median {med:.4f}", flush=True)
+            if best is None or (ok, -med) > (best[0], -best[1]):
+                best = (ok, med, done, pstate)
+        pstate = best[3]
+        print(f"best checkpoint: step {best[2]} ({best[0]}/{N_INFER}, "
+              f"median {best[1]:.4f})", flush=True)
+    else:
+        pstate, cnn, plosses = pose_trainer.train_pose(
+            field, state.params_fine, scene0.images, scene0.sils, bank, neg,
+            cfg=cfg, aug_cfg=aug_cfg, n_steps=POSE_STEPS, steps_per_call=50,
+        )
     timings["pose"] = round(time.perf_counter() - t, 1)
     print(f"pose: loss {np.mean(plosses[:20]):.5f} -> {np.mean(plosses[-20:]):.5f} "
           f"({timings['pose']} s)", flush=True)
@@ -135,15 +202,7 @@ def main():
     print(f"trained params -> {save_dir}", flush=True)
 
     t = time.perf_counter()
-    verts_scaled, feats, normals = gen_feat.gen_feat(
-        field, pstate.nerf_params, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
-        diam, exp0, 1, FeatConfig(mc_threshold=0.05), image_size=IMG, threshold=0.2,
-    )
-    # true (pre-pad) key count: the cycled pad tail exists only for shape
-    # stability and must not be counted/weighted in metrics
-    pose_dir0 = artifacts.pose_dir(exp0, 1)
-    n_keys_p = os.path.join(pose_dir0, "n_keys.npy")
-    n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else verts_scaled.shape[0]
+    verts_scaled, feats, normals, n_real = bake(pstate.nerf_params)
     # persist the baked arrays next to the trained nets so BENCH_QUALITY=1
     # (bench.py) can re-measure without re-running the hours-long pose phase
     for name, arr in [("vert1_scaled.npy", verts_scaled), ("feat1_scaled.npy", feats),
@@ -153,28 +212,12 @@ def main():
     print(f"baked {n_real} keys (padded {verts_scaled.shape[0]}; {timings['bake']} s)", flush=True)
 
     t = time.perf_counter()
-    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:N_INFER])))
-    Ks = np.asarray(scene1.K[:N_INFER]).astype(np.float32)
-    Ks[:, 0:2, 2] -= 0.5
-    pred_R, pred_t = inference.run_sequence(
-        cnn, pstate.cnn_params, imgs_n, np.asarray(scene1.sils[:N_INFER]), Ks,
-        verts_scaled, feats, cfg=InferenceConfig(), batch=min(8, N_INFER),
-    )
-    # metric cloud without the cycled pad tail (duplicates would
-    # double-weight the cycled prefix in the ADD mean)
-    verts_j = jnp.asarray(verts_scaled[:n_real], jnp.float32)
-    adds = [
-        float(metrics.add_metric(
-            verts_j, jnp.asarray(scene1.R_bop[i]), jnp.asarray(scene1.t_bop[i]) * scale,
-            jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
-        for i in range(N_INFER)
-    ]
+    adds = eval_adds(cnn, pstate.cnn_params, verts_scaled, feats, n_real)
     timings["infer"] = round(time.perf_counter() - t, 1)
-    thresh = 0.1 * diam * scale
     correct = int(sum(a < thresh for a in adds))
     timings["total"] = round(time.perf_counter() - t0, 1)
 
-    print(json.dumps({
+    out = {
         "views": N_VIEWS, "train_half": TRAIN_HALF,
         "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
         "n_keys": n_real, "n_keys_padded": int(verts_scaled.shape[0]),
@@ -183,7 +226,11 @@ def main():
         "add_thresh": round(thresh, 4),
         "adds": [round(a, 3) for a in adds],
         "timings_s": timings,
-    }), flush=True)
+    }
+    if step_curve:
+        out["step_curve"] = step_curve
+        out["best_step"] = best[2]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
