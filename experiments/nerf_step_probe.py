@@ -56,7 +56,7 @@ def make_data(seed=0):
 
 
 def time_variant(name, render_cfg, n_steps=STEPS, repeats=2):
-    field = fields.NerfField(FieldConfig())
+    field = fields.NerfField(FieldConfig(act_dtype="bfloat16"))
     data = make_data()
     best = float("inf")
     for _ in range(repeats):

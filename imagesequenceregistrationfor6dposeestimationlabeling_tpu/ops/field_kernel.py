@@ -44,6 +44,17 @@ Numerics match ``NerfField.apply(..., mode='color')`` with
 ``compute_dtype=bfloat16`` to bf16 tolerance; gradients are emitted in
 fp32 (slightly MORE precise than the flax path, whose grads pass through
 a bf16 cast).  Parity + gradient tests: tests/test_field_kernel.py.
+
+The fastest path supersedes the split fwd/bwd pair entirely:
+``bundle_loss_grads`` (bottom of this module) fuses field fwd + EA
+composite + huber loss + the full backward into ONE launch per bundle —
+the kernel's only outputs are the 13 parameter grads, a loss accumulator
+and (for the coarse bundle) the EA weights the importance sampler needs.
+The (N, 360) embeddings and (N, 256) hiddens never exist off-chip at all
+(HLO temp memory for the train step: 2173 MB split -> 201 MB fused;
+step 42.8 -> 30.7 ms/step in the same relay window).  Wired into
+train/nerf_trainer.py for single-chunk steps; FUSED_LOSS_KERNEL=0
+restores the split kernels.
 """
 
 from __future__ import annotations
@@ -127,7 +138,24 @@ def _angles(x, fm):
             + x[:, 2:3] * fm[2:3, :])
 
 
+# ---- probe-only knobs (experiments/kernel_decomp_probe.py): replace the
+# transcendentals with cheap stand-ins of the same shape/dtype to measure
+# their share of the kernel's runtime.  NOT valid numerics — never set in
+# production; both default off and the test suite runs with them unset.
+_PROBE_SINCOS = _os.environ.get("FIELD_KERNEL_PROBE_SINCOS", "exact")
+_PROBE_SOFTPLUS = _os.environ.get("FIELD_KERNEL_PROBE_SOFTPLUS", "exact")
+
+
+def _sincos(ang):
+    if _PROBE_SINCOS == "poly":  # probe-only: 2 mults + trunc, no sin/cos
+        t = ang - jnp.round(ang * (1.0 / (2.0 * np.pi))) * (2.0 * np.pi)
+        return t * (1.0 - 0.1 * t * t), 1.0 - 0.4 * t * t
+    return jnp.sin(ang), jnp.cos(ang)
+
+
 def _softplus_b(x, beta):
+    if _PROBE_SOFTPLUS == "relu":  # probe-only: no exp/log1p
+        return jnp.maximum(x, 0.0)
     # explicit stable softplus: jax.nn.softplus carries a custom_jvp
     # (logaddexp) whose closed_call trips jax 0.9.0's cached MLIR
     # lowering when the kernel body is vmapped
@@ -155,8 +183,9 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
 
     x = pts_ref[:].reshape(N, 3)
     ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
-    es = jnp.sin(ang).astype(bf)
-    ec = jnp.cos(ang).astype(bf)
+    _s, _c = _sincos(ang)
+    es = _s.astype(bf)
+    ec = _c.astype(bf)
     es_ref[:] = es.reshape(Rt, P, -1)
     ec_ref[:] = ec.reshape(Rt, P, -1)
 
@@ -211,8 +240,9 @@ def _fwd_kernel_rc(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
 
     x = pts_ref[:].reshape(N, 3)
     ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
-    es = jnp.sin(ang).astype(bf)
-    ec = jnp.cos(ang).astype(bf)
+    _s, _c = _sincos(ang)
+    es = _s.astype(bf)
+    ec = _c.astype(bf)
     es_ref[:] = es.reshape(Rt, P, -1)
     ec_ref[:] = ec.reshape(Rt, P, -1)
 
@@ -257,8 +287,9 @@ def _dens_kernel(pts_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
     f32 = jnp.float32
 
     ang = _angles(pts_ref[:], fmat_ref[:])
-    es = jnp.sin(ang).astype(bf)
-    ec = jnp.cos(ang).astype(bf)
+    _s, _c = _sincos(ang)
+    es = _s.astype(bf)
+    ec = _c.astype(bf)
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=f32)
@@ -345,16 +376,26 @@ def density_eval_fn(field, params, interpret: bool | None = None):
 # ------------------------------------------------------------ backward
 
 
+def _du_from_dens(dens, gdens, beta):
+    """Chain rule dens -> density-head pre-activation u, from the STORED
+    post-values: dens = 1 - exp(-softplus_b(u))  =>
+    d dens/du = (1-dens) * sigmoid(beta*u) = (1-dens)*(1-(1-dens)^beta)."""
+    one_m = 1.0 - dens
+    return gdens * one_m * (1.0 - jnp.exp(beta * jnp.log1p(-dens)))
+
+
 def _grad_math(Rt, P, dirs_flat, fmat, w2_ref, wd_ref, wc1h_ref, wc2_ref,
-               h1b, h2b, c1b, es, ec, dens, rgb, gdens, grgb,
+               h1b, h2b, c1b, es, ec, rgb, du, grgb,
                dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
                dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
                dwc2_ref, dbc2_ref, beta):
     """Shared per-tile gradient accumulation.
 
-    Values (h1b/h2b/c1b/es/ec bf16 (N, ·); dens/rgb/gdens/grgb f32) are
-    tile-local; the 13 grad refs are fp32 VMEM scratch-outputs accumulated
-    across the sequential grid."""
+    Values (h1b/h2b/c1b/es/ec bf16 (N, ·); rgb/du/grgb f32) are
+    tile-local; ``du`` is the cotangent already pulled back to the density
+    head's pre-activation (see _du_from_dens / the fused loss kernel's
+    in-register composite backward).  The 13 grad refs are fp32 VMEM
+    scratch-outputs accumulated across the sequential grid."""
     bf = jnp.bfloat16
     f32 = jnp.float32
 
@@ -385,10 +426,7 @@ def _grad_math(Rt, P, dirs_flat, fmat, w2_ref, wd_ref, wc1h_ref, wc2_ref,
 
     dh2 = c_feat(dc1pb, wc1h_ref[:].astype(bf))                    # (N, C)
 
-    # density head (fp32): dens = 1 - exp(-softplus_b(u));
-    # d dens/du = (1-dens) * sigmoid(beta*u) = (1-dens) * (1-(1-dens)^beta)
-    one_m = 1.0 - dens
-    du = gdens * one_m * (1.0 - jnp.exp(beta * jnp.log1p(-dens)))  # (N, 1)
+    # density head (fp32); du (N, 1) is the pre-activation cotangent
     dwd_ref[:] += c_pt(h2b.astype(f32), du)
     dbd_ref[:] += jnp.sum(du, 0, keepdims=True)
     dh2 = dh2 + jax.lax.dot_general(du, wd_ref[:], (((1,), (1,)), ((), ())),
@@ -425,14 +463,15 @@ def _bwd_kernel(pts_ref, dirs_ref, fmat_ref, w2_ref, wd_ref, wc1h_ref,
 
     Rt, P, _ = pts_ref.shape
     N = Rt * P
+    du = _du_from_dens(dens_ref[:].reshape(N, 1), gdens_ref[:].reshape(N, 1),
+                       beta)
     _grad_math(
         Rt, P, dirs_ref[:].reshape(Rt, 3), fmat_ref[:],
         w2_ref, wd_ref, wc1h_ref, wc2_ref,
         h1_ref[:].reshape(N, -1), h2_ref[:].reshape(N, -1),
         c1_ref[:].reshape(N, -1), es_ref[:].reshape(N, -1),
-        ec_ref[:].reshape(N, -1), dens_ref[:].reshape(N, 1),
-        rgb_ref[:].reshape(N, 3), gdens_ref[:].reshape(N, 1),
-        grgb_ref[:].reshape(N, 3),
+        ec_ref[:].reshape(N, -1),
+        rgb_ref[:].reshape(N, 3), du, grgb_ref[:].reshape(N, 3),
         dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
         beta)
@@ -483,12 +522,13 @@ def _bwd_kernel_rc(dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
                      + dpart[:, None, :], beta)
     c1b = c1.astype(bf).reshape(N, -1)
 
+    du = _du_from_dens(dens_ref[:].reshape(N, 1), gdens_ref[:].reshape(N, 1),
+                       beta)
     _grad_math(
         Rt, P, dirs_flat, fmat_ref[:],
         w2_ref, wd_ref, wc1h_ref, wc2_ref,
-        h1b, h2b, c1b, es, ec, dens_ref[:].reshape(N, 1),
-        rgb_ref[:].reshape(N, 3), gdens_ref[:].reshape(N, 1),
-        grgb_ref[:].reshape(N, 3),
+        h1b, h2b, c1b, es, ec,
+        rgb_ref[:].reshape(N, 3), du, grgb_ref[:].reshape(N, 3),
         dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
         beta)
@@ -747,3 +787,283 @@ def field_color(params, pts, dirs, cfg, interpret: bool | None = None):
     dens, rgb = op(weights, jax.lax.stop_gradient(pts),
                    jax.lax.stop_gradient(dn))
     return dens, rgb
+
+
+# ----------------------------------------------- fused bundle-loss kernel
+
+
+def _loss_kernel(pts_ref, dirs_ref, tgt_ref, fmat_ref, w1s_ref, w1c_ref,
+                 b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, wc1h_ref, wc1ds_ref,
+                 wc1dc_ref, bc1_ref, wc2_ref, bc2_ref, *refs,
+                 beta, hs, scale, want_weights):
+    """Field fwd + EA composite + huber loss + full backward, one launch.
+
+    Per ray tile: evaluate the field (exactly _fwd_kernel's math), composite
+    to a (rgb, opacity) pixel, take the huber loss against the target, pull
+    the cotangents back through composite+field IN REGISTERS and accumulate
+    the 13 parameter grads across the sequential grid.  Nothing but the
+    grads (and a (1, 8) loss accumulator, lanes [ce_sum, se_sum]) leaves the
+    kernel — the (N, 360) embeddings and (N, 256) hiddens that the split
+    fwd/bwd kernels round-trip through HBM never exist off-chip.
+
+    Composite in closed form: dens = 1 - exp(-raw) makes absorption
+    EXACTLY exp(-cumsum(raw)) and opacity 1 - exp(-sum(raw)) — the
+    eps=1e-10 of raymarch.ea_weights (pren.py:164-169) is a torch guard
+    against zero-cumprod gradients that the closed form doesn't need
+    (differs from the flax path by <= P*eps ~ 3e-8 relative).
+
+    Backward through composite, with a_i = raw_i, Q_i = sum_{j<i} a_j,
+    w_i = (1-e^{-a_i}) e^{-Q_i}:
+        dL/da_i = g_wi (A_i - w_i) - sum_{j>i} g_wj w_j + g_O e^{-S}
+    (rev-cumsum for the middle term; A = e^{-Q}, S = sum a).
+
+    Loss (train/nerf_trainer.py loss_fn): per-ray ce = mean_c huber(feat-col),
+    se = huber(opacity - sil); kernel accumulates sum(v*ce), sum(v*se) and
+    scales grads by ``scale`` = loss_scale / n_valid (static at trace time).
+    """
+    if want_weights:
+        (dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
+         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
+         loss_ref, w_ref) = refs
+    else:
+        (dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
+         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
+         loss_ref) = refs
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for r in (dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
+                  dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
+                  dwc2_ref, dbc2_ref, loss_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    Rt, P, _ = pts_ref.shape
+    N = Rt * P
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    # ---- forward (same math as _fwd_kernel; everything stays live) ----
+    x = pts_ref[:].reshape(N, 3)
+    ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
+    _s, _c = _sincos(ang)
+    es = _s.astype(bf)
+    ec = _c.astype(bf)
+    h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
+                     + b1_ref[:], beta)
+    h1b = h1.astype(bf)
+    h2 = _softplus_b(mm(h1b, w2_ref[:].astype(bf)) + b2_ref[:], beta)
+    h2b = h2.astype(bf)
+    raw = _softplus_b(jnp.dot(h2, wd_ref[:], preferred_element_type=f32)
+                      + bd_ref[:], beta)                            # (N, 1)
+    dirs_flat = dirs_ref[:].reshape(Rt, 3)
+    angd = _angles(dirs_flat, fmat_ref[:])
+    dpart = (mm(jnp.sin(angd).astype(bf), wc1ds_ref[:].astype(bf))
+             + mm(jnp.cos(angd).astype(bf), wc1dc_ref[:].astype(bf))
+             + bc1_ref[:])                                          # (Rt, C)
+    c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
+                     + dpart[:, None, :], beta)
+    c1b = c1.astype(bf).reshape(N, -1)
+    rgb = jax.nn.sigmoid(mm(c1b, wc2_ref[:].astype(bf)) + bc2_ref[:])  # (N,3)
+
+    # ---- composite + loss (per-ray, in registers) ----
+    # Mosaic has no cumsum lowering; an upper-triangular 0/1 matmul is the
+    # MXU-native inclusive scan ((rt, P) @ (P, P) is noise next to the
+    # field matmuls).  fp32 MXU accumulation of <= P nonneg terms is exact
+    # enough (the flax path's cumprod differs by its own rounding anyway).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
+
+    def cumsum_lanes(m):  # inclusive cumsum along the last (lane) axis
+        return jnp.dot(m, tri, preferred_element_type=f32)
+
+    rawr = raw.reshape(Rt, P)
+    Q = cumsum_lanes(rawr)
+    A = jnp.exp(rawr - Q)                    # exp(-exclusive prefix)
+    dens = 1.0 - jnp.exp(-rawr)
+    w = dens * A                             # EA weights (Rt, P)
+    rgbr = rgb.reshape(Rt, P, 3)
+    feat = jnp.sum(w[..., None] * rgbr, axis=1)                    # (Rt, 3)
+    Stot = jnp.sum(rawr, axis=-1, keepdims=True)                   # (Rt, 1)
+    eS = jnp.exp(-Stot)
+    opac = 1.0 - eS
+
+    tgt = tgt_ref[:].reshape(Rt, 8)
+    col = tgt[:, 0:3]
+    sil = tgt[:, 3:4]
+    v = tgt[:, 4:5]
+    dc = feat - col
+    rc = jnp.sqrt(1.0 + dc * dc / (hs * hs))
+    dsil = opac - sil
+    rs = jnp.sqrt(1.0 + dsil * dsil / (hs * hs))
+    ce_sum = jnp.sum((rc - 1.0) * hs * v) / 3.0
+    se_sum = jnp.sum((rs - 1.0) * hs * v)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    loss_ref[:] += jnp.where(lane == 0, ce_sum,
+                             jnp.where(lane == 1, se_sum, 0.0))
+
+    if want_weights:
+        w_ref[:] = w
+
+    # ---- backward: loss -> (du, grgb), then the shared grad math ----
+    gf = (scale / 3.0) * v * dc / (hs * rc)                        # (Rt, 3)
+    gO = scale * v * dsil / (hs * rs)                              # (Rt, 1)
+    gw = jnp.sum(gf[:, None, :] * rgbr, axis=-1)                   # (Rt, P)
+    grgb = (w[..., None] * gf[:, None, :]).reshape(N, 3)
+    T = gw * w
+    rev_excl = jnp.sum(T, axis=-1, keepdims=True) - cumsum_lanes(T)
+    g_raw = gw * (A - w) - rev_excl + gO * eS                      # (Rt, P)
+    du = g_raw.reshape(N, 1) * _sig_from_act(raw, beta)
+
+    _grad_math(
+        Rt, P, dirs_flat, fmat_ref[:],
+        w2_ref, wd_ref, wc1h_ref, wc2_ref,
+        h1b, h2b, c1b, es, ec, rgb, du, grgb,
+        dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
+        dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
+        beta)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
+                  interpret: bool, hs: float, scale: float,
+                  want_weights: bool):
+    """(weights..., pts, dirs, tgt) -> (13 grads, loss (1, 8)[, w (R, P)]).
+
+    Forward-only (grads ARE outputs) — never wrapped in jax.grad."""
+    fmat = _freq_matrix(n_harmonic, omega0)
+
+    def run(weights, pts, dirs, tgt):
+        (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
+         bc2) = weights
+        R, P, _ = pts.shape
+        C = w2.shape[0]
+        H3 = w1s.shape[0]
+        rt = max(1, _TILE_PTS // P)
+        rt = min(rt, R)
+        pad = (-R) % rt
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
+            dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+            tgt = jnp.pad(tgt, ((0, pad), (0, 0)))  # valid lane pads to 0
+        Rp = R + pad
+        n_tiles = Rp // rt
+        row3 = lambda i: (i, 0, 0)
+        full = lambda i: (0, 0)
+        dirs_g = dirs.reshape(n_tiles, rt, 3)   # see fwd_call comment
+        tgt_g = tgt.reshape(n_tiles, rt, 8)
+
+        dims = {"H3C": (H3, C), "1C": (1, C), "CC": (C, C), "C1": (C, 1),
+                "11": (1, 1), "C3": (C, 3), "13": (1, 3)}
+        gshapes = [dims[s] for s in ("H3C", "H3C", "1C", "CC", "1C", "C1",
+                                     "11", "CC", "H3C", "H3C", "1C", "C3",
+                                     "13")]
+        out_specs = [pl.BlockSpec(s, full) for s in gshapes]
+        out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes]
+        out_specs.append(pl.BlockSpec((1, 8), full))               # loss
+        out_shape.append(jax.ShapeDtypeStruct((1, 8), jnp.float32))
+        if want_weights:
+            out_specs.append(pl.BlockSpec((rt, P), lambda i: (i, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((Rp, P), jnp.float32))
+
+        outs = pl.pallas_call(
+            functools.partial(_loss_kernel, beta=beta, hs=hs, scale=scale,
+                              want_weights=want_weights),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((rt, P, 3), row3),        # pts
+                pl.BlockSpec((1, rt, 3), row3),        # dirs (grouped)
+                pl.BlockSpec((1, rt, 8), row3),        # tgt (grouped)
+                pl.BlockSpec(fmat.shape, full),
+                pl.BlockSpec(w1s.shape, full), pl.BlockSpec(w1c.shape, full),
+                pl.BlockSpec(b1.shape, full),
+                pl.BlockSpec(w2.shape, full), pl.BlockSpec(b2.shape, full),
+                pl.BlockSpec(wd.shape, full), pl.BlockSpec(bd.shape, full),
+                pl.BlockSpec(wc1h.shape, full), pl.BlockSpec(wc1ds.shape, full),
+                pl.BlockSpec(wc1dc.shape, full), pl.BlockSpec(bc1.shape, full),
+                pl.BlockSpec(wc2.shape, full), pl.BlockSpec(bc2.shape, full),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(pts, dirs_g, tgt_g, jnp.asarray(fmat), w1s, w1c, b1, w2, b2, wd,
+          bd, wc1h, wc1ds, wc1dc, bc1, wc2, bc2)
+        grads, loss = outs[:13], outs[13]
+        wts = outs[14][:R] if want_weights else None
+        return grads, loss, wts
+
+    return run
+
+
+def _split_weights(params, cfg):
+    """Slice the flax param dict into the kernel's 13 weight blocks."""
+    pr = params["params"]
+    H = cfg.n_harmonic_functions
+    w1 = pr["trunk1"]["kernel"]
+    w2 = pr["trunk2"]["kernel"]
+    wd = pr["density_layer"]["kernel"]
+    wc1 = pr["color1"]["kernel"]
+    wc2 = pr["color2"]["kernel"]
+    nh = w2.shape[0]
+    return (
+        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
+        w2, pr["trunk2"]["bias"][None, :],
+        wd, pr["density_layer"]["bias"][None, :],
+        wc1[:nh], wc1[nh : nh + 3 * H], wc1[nh + 3 * H :],
+        pr["color1"]["bias"][None, :],
+        wc2, pr["color2"]["bias"][None, :],
+    )
+
+
+def _grads_to_tree(params, grads):
+    """Assemble the 13 flat grad blocks into a params-shaped pytree
+    (zeros for untouched leaves, e.g. the SIREN feature head)."""
+    (dw1s, dw1c, db1, dw2, db2, dwd, dbd, dwc1h, dwc1ds, dwc1dc, dbc1,
+     dwc2, dbc2) = grads
+    g = jax.tree.map(jnp.zeros_like, params)
+    gp = dict(g["params"])
+    gp["trunk1"] = {"kernel": jnp.concatenate([dw1s, dw1c], 0), "bias": db1[0]}
+    gp["trunk2"] = {"kernel": dw2, "bias": db2[0]}
+    gp["density_layer"] = {"kernel": dwd, "bias": dbd[0]}
+    gp["color1"] = {"kernel": jnp.concatenate([dwc1h, dwc1ds, dwc1dc], 0),
+                    "bias": dbc1[0]}
+    gp["color2"] = {"kernel": dwc2, "bias": dbc2[0]}
+    return {**g, "params": gp}
+
+
+def bundle_loss_grads(params, pts, dirs, col, sil, valid, cfg, *,
+                      huber_scaling: float, scale: float,
+                      want_weights: bool = False,
+                      interpret: bool | None = None):
+    """Fused train-bundle evaluation for ``NerfField``: field fwd + EA
+    composite + huber color/sil loss + backward, one Pallas launch.
+
+    pts (R, P, 3); dirs (R, 3) un-normalized; col (R, 3); sil/valid (R, 1).
+    ``scale`` is the cotangent of each ray's (ce + se) — the trainers pass
+    loss_scale / n_valid_rays (static).  Returns
+    (grads pytree shaped like params, (ce_sum, se_sum) f32 scalars,
+    EA weights (R, P) if want_weights else None).
+
+    Replaces eval_color -> raymarch.composite -> huber -> jax.grad for the
+    single-chunk train step (train/nerf_trainer.py): grads/losses match the
+    flax path to bf16 tolerance (tests/test_field_kernel.py); the composite
+    is the exact eps-free closed form (see _loss_kernel docstring).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    run = _make_loss_op(float(cfg.softplus_beta),
+                        int(cfg.n_harmonic_functions), float(cfg.omega0),
+                        bool(interpret), float(huber_scaling), float(scale),
+                        bool(want_weights))
+    dn = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    tgt = jnp.concatenate(
+        [col, sil, valid, jnp.zeros((pts.shape[0], 3), col.dtype)], axis=-1
+    ).astype(jnp.float32)
+    grads, loss, wts = run(
+        _split_weights(params, cfg), jax.lax.stop_gradient(pts),
+        jax.lax.stop_gradient(dn), jax.lax.stop_gradient(tgt))
+    return _grads_to_tree(params, grads), (loss[0, 0], loss[0, 1]), wts

@@ -23,6 +23,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -167,6 +168,17 @@ def make_train_step(
     # call, so the kernel runs under shard_map: each device evaluates its
     # ray shard, params replicated, grad-psum inserted by the AD transpose.
     use_kernel = field_kernel.enabled(field.cfg)
+    # single-chunk steps go through the FULLY fused bundle kernel (field
+    # fwd + composite + huber + backward in one Pallas launch,
+    # field_kernel.bundle_loss_grads): the split fwd/bwd kernels round-trip
+    # ~4 GB/step of residuals through HBM that the fused form keeps in
+    # VMEM.  Multi-chunk (large-ray-batch) steps keep the remat scan path.
+    # FUSED_LOSS_KERNEL=0 is the escape hatch back to the split kernels.
+    use_fused_loss = (
+        use_kernel
+        and total_rays <= ray_chunk
+        and os.environ.get("FUSED_LOSS_KERNEL", "1") != "0"
+    )
 
     def eval_color(params, pts, dirs):
         if not use_kernel:
@@ -258,11 +270,83 @@ def make_train_step(
         loss = col_err + sil_err
         return loss, {"color": col_err, "sil": sil_err}
 
+    def fused_value_and_grad(params_pair, cam: cam_lib.Camera, images, sils, key):
+        """Single-chunk step through field_kernel.bundle_loss_grads: the
+        coarse and fine bundles each run field fwd + composite + huber +
+        backward in ONE Pallas launch (grads are kernel outputs — no
+        jax.grad).  Semantically equivalent to value_and_grad(loss_fn) at
+        n_chunks == 1 (same rays, RNG stream, loss normalization); the
+        composite is the exact eps-free closed form (field_kernel
+        docstring).  Tested against the flax path in test_nerf_training."""
+        pc, pf = params_pair
+        k_rays, k_pdf = jax.random.split(key)
+        bundle = cam_lib.monte_carlo_rays(
+            cam, render_cfg.n_rays_per_image, Pc, min_depth, max_depth, k_rays
+        )
+        sil_at = sample_images_at_mc_locs(sils[..., None], bundle.xys)
+        col_at = sample_images_at_mc_locs(images, bundle.xys)
+        n = bundle.origins.shape[0] * bundle.origins.shape[1]
+        npad = mesh_lib.pad_to_multiple(n, n_dev)
+
+        def flat(x, d):
+            x = x.reshape(n, d)
+            return x if npad == n else jnp.pad(x, ((0, npad - n), (0, 0)))
+
+        o = flat(bundle.origins, 3)
+        d = flat(bundle.directions, 3)
+        l = flat(bundle.lengths, Pc)
+        col = flat(col_at, 3)
+        sil = flat(sil_at, 1)
+        valid = flat(jnp.ones((n, 1)), 1)
+        kw = dict(huber_scaling=hs, scale=s / n)
+        kk = jax.random.split(k_pdf, 1)[0]  # the chunked path's stream
+
+        def kcall(p, pts, want_w):
+            if mesh is None or n_dev == 1:
+                return field_kernel.bundle_loss_grads(
+                    p, pts, d, col, sil, valid, field.cfg,
+                    want_weights=want_w, **kw)
+            from jax.sharding import PartitionSpec as P
+
+            def body(p, pts_s, d_s, col_s, sil_s, val_s):
+                g, (ce, se), w = field_kernel.bundle_loss_grads(
+                    p, pts_s, d_s, col_s, sil_s, val_s, field.cfg,
+                    want_weights=want_w, **kw)
+                g = jax.lax.psum(g, mesh_lib.DATA_AXIS)
+                ce = jax.lax.psum(ce, mesh_lib.DATA_AXIS)
+                se = jax.lax.psum(se, mesh_lib.DATA_AXIS)
+                return (g, (ce, se), w) if want_w else (g, (ce, se))
+
+            dp = P(mesh_lib.DATA_AXIS)
+            fn = jax.shard_map(
+                body, mesh=mesh, in_specs=(P(), dp, dp, dp, dp, dp),
+                out_specs=(P(), (P(), P()), dp) if want_w else (P(), (P(), P())),
+                check_vma=False)
+            out = fn(p, pts, d, col, sil, valid)
+            return out if want_w else (*out, None)
+
+        pts_c = o[:, None, :] + d[:, None, :] * l[:, :, None]
+        gc, (ce_c, se_c), w_c = kcall(pc, pts_c, True)
+        z_f = raymarch.importance_resample(
+            l, w_c, Pf, kk, det=False,
+            add_input_samples=render_cfg.add_input_samples,
+        )
+        pts_f = o[:, None, :] + d[:, None, :] * z_f[:, :, None]
+        gf, (ce_f, se_f), _ = kcall(pf, pts_f, False)
+        col_err = s * (ce_c + ce_f) / n
+        sil_err = s * (se_c + se_f) / n
+        return (col_err + sil_err, {"color": col_err, "sil": sil_err}), (gc, gf)
+
     @jax.jit
     def train_step(state: NerfTrainState, cam: cam_lib.Camera, images, sils, key):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            (state.params_coarse, state.params_fine), cam, images, sils, key
-        )
+        if use_fused_loss:
+            (loss, aux), grads = fused_value_and_grad(
+                (state.params_coarse, state.params_fine), cam, images, sils, key
+            )
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (state.params_coarse, state.params_fine), cam, images, sils, key
+            )
         updates, new_opt = tx.update(grads, state.opt_state, (state.params_coarse, state.params_fine))
         pc, pf = optax.apply_updates((state.params_coarse, state.params_fine), updates)
         return NerfTrainState(pc, pf, new_opt, state.step + 1), loss, aux

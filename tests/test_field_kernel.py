@@ -301,3 +301,124 @@ def test_gradients_with_ragged_ray_count():
         np.testing.assert_allclose(
             np.asarray(lr, np.float32), np.asarray(le, np.float32),
             atol=1e-4, err_msg=jax.tree_util.keystr(path))
+
+
+# ------------------------------------------ fused bundle-loss kernel
+
+
+def _ref_bundle(field, cfg, hs, scale):
+    """Flax reference of what the fused loss kernel computes: field fwd ->
+    EA composite -> huber color/sil loss (train/nerf_trainer.py loss_fn)."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch
+
+    def loss(p, pts, dirs, col, sil, valid):
+        dens, rgb = field.apply(p, pts, dirs, "color")
+        img, w = raymarch.composite(dens[..., 0], rgb)
+        ce = raymarch.huber(img[..., :-1], col, hs).mean(-1)
+        se = raymarch.huber(img[..., -1:], sil, hs).mean(-1)
+        v = valid[:, 0]
+        total = scale * ((ce + se) * v).sum()
+        return total, (w, (ce * v).sum(), (se * v).sum())
+
+    return loss
+
+
+def _bundle_setup(R=6, P=9, seed=3):
+    cfg, field, params, pts, dirs = _setup(R=R, P=P, seed=seed)
+    k = jax.random.PRNGKey(seed + 17)
+    k1, k2 = jax.random.split(k)
+    col = jax.random.uniform(k1, (R, 3))
+    sil = (jax.random.uniform(k2, (R, 1)) > 0.5).astype(jnp.float32)
+    valid = jnp.ones((R, 1))
+    return cfg, field, params, pts, dirs, col, sil, valid
+
+
+def _assert_grads_close(gk, gf, atol=3e-2):
+    gf_flat = dict(jax.tree_util.tree_leaves_with_path(gf))
+    checked = 0
+    for path, leaf_k in jax.tree_util.tree_leaves_with_path(gk):
+        leaf_f = gf_flat[path]
+        name = jax.tree_util.keystr(path)
+        if "feature_layer" in name:
+            assert float(jnp.abs(leaf_k).max()) == 0.0
+            continue
+        s = max(float(jnp.abs(leaf_f).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(leaf_k, np.float32) / s,
+            np.asarray(leaf_f, np.float32) / s,
+            atol=atol, err_msg=name)
+        checked += 1
+    assert checked >= 10
+
+
+def test_bundle_loss_grads_match_flax():
+    hs, scale = 0.1, 500.0 / 6
+    cfg, field, params, pts, dirs, col, sil, valid = _bundle_setup()
+    gk, (ce_k, se_k), w_k = field_kernel.bundle_loss_grads(
+        params, pts, dirs, col, sil, valid, cfg, huber_scaling=hs,
+        scale=scale, want_weights=True, interpret=True)
+    ref = _ref_bundle(field, cfg, hs, scale)
+    (_, (w_f, ce_f, se_f)), gf = jax.value_and_grad(ref, has_aux=True)(
+        params, pts, dirs, col, sil, valid)
+    np.testing.assert_allclose(float(ce_k), float(ce_f), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(float(se_k), float(se_f), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_f),
+                               atol=2e-2, rtol=2e-2)
+    _assert_grads_close(gk, gf)
+
+
+def test_bundle_loss_ragged_rays_and_zero_valid():
+    """R not divisible by the ray tile: padded rows must contribute nothing;
+    explicit valid=0 rows must also be ignored."""
+    hs, scale = 0.1, 10.0
+    R = 5
+    cfg, field, params, pts, dirs, col, sil, valid = _bundle_setup(
+        R=R, P=field_kernel._TILE_PTS // 2, seed=5)
+    valid = valid.at[3:].set(0.0)
+    gk, (ce_k, se_k), w_k = field_kernel.bundle_loss_grads(
+        params, pts, dirs, col, sil, valid, cfg, huber_scaling=hs,
+        scale=scale, want_weights=True, interpret=True)
+    ref = _ref_bundle(field, cfg, hs, scale)
+    (_, (w_f, ce_f, se_f)), gf = jax.value_and_grad(ref, has_aux=True)(
+        params, pts, dirs, col, sil, valid)
+    assert w_k.shape == (R, pts.shape[1])
+    np.testing.assert_allclose(float(ce_k), float(ce_f), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(float(se_k), float(se_f), atol=2e-2, rtol=2e-2)
+    _assert_grads_close(gk, gf)
+
+
+def test_bundle_loss_vmapped_over_halves():
+    """The fused trainer vmaps the whole step over the half axis; per-half
+    grads/losses must equal the unbatched call's."""
+    hs, scale = 0.1, 500.0 / 6
+    cfg, field, p0, pts, dirs, col, sil, valid = _bundle_setup(seed=0)
+    p1 = fields.init_field(field, jax.random.PRNGKey(9))
+    params = jax.tree.map(lambda *x: jnp.stack(x), p0, p1)
+    pts2 = jnp.stack([pts, pts * 0.5 + 0.1])
+    dirs2 = jnp.stack([dirs, dirs[::-1]])
+    col2 = jnp.stack([col, col[::-1]])
+    sil2 = jnp.stack([sil, 1.0 - sil])
+    val2 = jnp.stack([valid, valid])
+
+    def one(p, x, d, c, s, v):
+        return field_kernel.bundle_loss_grads(
+            p, x, d, c, s, v, cfg, huber_scaling=hs, scale=scale,
+            want_weights=True, interpret=True)
+
+    g, (ce, se), w = jax.vmap(one)(params, pts2, dirs2, col2, sil2, val2)
+    for h in range(2):
+        ph = jax.tree.map(lambda x: x[h], params)
+        g_ref, (ce_r, se_r), w_ref = one(
+            ph, pts2[h], dirs2[h], col2[h], sil2[h], val2[h])
+        np.testing.assert_allclose(float(ce[h]), float(ce_r), atol=1e-5)
+        np.testing.assert_allclose(float(se[h]), float(se_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w[h]), np.asarray(w_ref),
+                                   atol=1e-6)
+        for (path, lk), (_, lr) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.tree.map(lambda x: x[h], g)),
+            jax.tree_util.tree_leaves_with_path(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lk, np.float32), np.asarray(lr, np.float32),
+                atol=1e-4, err_msg=f"half {h} {jax.tree_util.keystr(path)}")
