@@ -942,8 +942,12 @@ def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
         R, P, _ = pts.shape
         C = w2.shape[0]
         H3 = w1s.shape[0]
-        rt = max(1, _TILE_PTS // P)
-        rt = min(rt, R)
+        # rt >= 2: Mosaic cannot lower the per-ray (rt, P) reductions of
+        # the in-kernel composite at rt == 1 ("Offset change" on a
+        # (1, P) multi_reduction, probed at FIELD_KERNEL_TILE=512) — pad
+        # the ray axis instead of shrinking the tile below 2
+        rt = max(2, _TILE_PTS // P)
+        rt = min(rt, max(R, 2))
         pad = (-R) % rt
         if pad:
             pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))

@@ -102,3 +102,32 @@ def test_fused_loss_step_sharded_matches_single():
                                    rtol=1e-3, atol=2e-5)
     assert all(x.sharding.is_fully_replicated
                for x in jax.tree.leaves(st_m.params_fine))
+
+
+def test_bundle_loss_single_ray_and_big_P(monkeypatch):
+    """rt is floored at 2 (Mosaic can't lower (1, P) per-ray reductions):
+    a single-ray call and a P > tile call must both pad, not shrink rt."""
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raymarch
+
+    cfg = FieldConfig(n_harmonic_functions=6, n_hidden=32,
+                      act_dtype="bfloat16", fused_kernel=True)
+    field = fields.NerfField(cfg)
+    params = fields.init_field(field, jax.random.PRNGKey(0))
+    for R, P in ((1, 9), (3, field_kernel._TILE_PTS * 2)):
+        k = jax.random.PRNGKey(R)
+        pts = jax.random.normal(k, (R, P, 3)) * 0.5
+        dirs = jax.random.normal(k, (R, 3))
+        col = jax.random.uniform(k, (R, 3))
+        sil = jnp.ones((R, 1))
+        valid = jnp.ones((R, 1))
+        g, (ce, se), w = field_kernel.bundle_loss_grads(
+            params, pts, dirs, col, sil, valid, cfg, huber_scaling=0.1,
+            scale=1.0, want_weights=True, interpret=True)
+        assert w.shape == (R, P)
+        dens, rgb = field.apply(params, pts, dirs, "color")
+        img, w_f = raymarch.composite(dens[..., 0], rgb)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_f),
+                                   atol=2e-2, rtol=2e-2)
+        assert np.isfinite(float(ce)) and np.isfinite(float(se))
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
