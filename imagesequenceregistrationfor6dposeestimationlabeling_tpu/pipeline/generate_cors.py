@@ -272,10 +272,23 @@ def generate_cors(
     cors = artifacts.cors_dir(out_dir, objid)
     os.makedirs(cors, exist_ok=True)
 
+    # CORS_TIMING=1: per-stage wall prints (experiments/cors_e2e_probe.py)
+    import time as _time
+
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        if os.environ.get("CORS_TIMING"):
+            now = _time.perf_counter()
+            print(f"  cors[{name}]: {now - _t[0]:.2f} s")
+            _t[0] = now
+
     mverts, sub, subnormals = extract_surface(field, params, cfg, grid_res)
+    _mark("extract_surface")
     artifacts.save_array(cors, "a1.npy", mverts)
     artifacts.save_array(cors, "subvert1.npy", sub)
     artifacts.save_array(cors, "subnormal1.npy", subnormals)
+    _mark("save_surface")
 
     mverts_pad, mverts_mask = _pad_cloud(mverts)
     cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
@@ -341,13 +354,17 @@ def generate_cors(
                 cam_all.focal[np.asarray(blk)], cam_all.principal[np.asarray(blk)],
                 cam_all.image_size,
             )
-            out = jax.device_get(views_surface_hits(
+            res = views_surface_hits(
                 field, params, cam_blk,
                 jnp.asarray(sels[np.asarray(blk)]), jnp.asarray(vals[np.asarray(blk)]),
                 *hit_args, mesh=mesh,
-            ))
+            )
+            _mark("views_render_dispatch")
+            out = jax.device_get(res)
+            _mark("views_fetch")
             for v, i in enumerate(blk[:real]):
                 save_view(i, out, v)
+            _mark("views_save")
     else:
         # partial resume: per-view programs for just the missing views
         # (idempotent skip, generateCors.py:277-278)
