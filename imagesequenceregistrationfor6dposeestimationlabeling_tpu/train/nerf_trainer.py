@@ -99,28 +99,35 @@ def init_state(
     return NerfTrainState(pc, pf, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-# Empirical libtpu fault (EXPERIMENTS.md round 4): the fused Pallas field
-# kernel inside a >=10-step scanned train program crashes the TPU worker
-# ("kernel fault") once the resident view bank grows past ~300 MB — 640
-# views @ 224^2 faults reproducibly, 256 views is fine; the flax path is
-# fine at any size.  Until root-caused, AUTO-enabled kernels fall back to
-# flax above this bank size; an explicit fused_kernel=True still forces
-# the kernel (the caller owns the risk).
+# Empirical libtpu fault (EXPERIMENTS.md round 4): the SPLIT fwd/bwd Pallas
+# field kernels inside a >=10-step scanned train program crash the TPU
+# worker ("kernel fault") once the resident view bank grows past ~300 MB —
+# 640 views @ 224^2 faults reproducibly, 256 views is fine; the flax path
+# is fine at any size.  The fused bundle-loss kernel does NOT fault (no
+# residual HBM stores; 1280 views x 50 steps probed clean at spc 10 and
+# 50), so the fallback only applies when the split path would run
+# (multi-chunk steps, or FUSED_LOSS_KERNEL=0).  Explicit fused_kernel=True
+# still forces kernels regardless (the caller owns the risk).
 _KERNEL_VIEWBANK_LIMIT = 256 * 1024 * 1024
+_DEFAULT_RAY_CHUNK = 4096
 
 
-def _kernel_safe_field(field: fields.NerfField, *banks):
+def _kernel_safe_field(field: fields.NerfField, render_cfg, train_cfg, *banks):
     cfg = field.cfg
     if getattr(cfg, "fused_kernel", None) is not None or not field_kernel.enabled(cfg):
         return field
+    total_rays = train_cfg.batch_size * render_cfg.n_rays_per_image
+    if (total_rays <= _DEFAULT_RAY_CHUNK
+            and os.environ.get("FUSED_LOSS_KERNEL", "1") != "0"):
+        return field  # single-chunk -> fused bundle-loss kernel: fault-free
     nbytes = sum(int(np.prod(b.shape)) * jnp.dtype(b.dtype).itemsize for b in banks)
     if nbytes <= _KERNEL_VIEWBANK_LIMIT:
         return field
     print(
         f"train_nerf: view bank {nbytes / 1e6:.0f} MB > "
         f"{_KERNEL_VIEWBANK_LIMIT / 1e6:.0f} MB — using the flax field path "
-        "(fused Pallas kernel faults libtpu at large resident banks; "
-        "EXPERIMENTS.md round 4)"
+        "(the split fwd/bwd Pallas kernels fault libtpu at large resident "
+        "banks; EXPERIMENTS.md round 4)"
     )
     import dataclasses
 
@@ -134,7 +141,7 @@ def make_train_step(
     train_cfg: NerfTrainConfig,
     min_depth: float,
     max_depth: float,
-    ray_chunk: int = 4096,
+    ray_chunk: int = _DEFAULT_RAY_CHUNK,
     mesh=None,
 ):
     """One jitted optimization step.
@@ -361,7 +368,7 @@ def make_multi_step(
     train_cfg: NerfTrainConfig,
     min_depth: float,
     max_depth: float,
-    ray_chunk: int = 4096,
+    ray_chunk: int = _DEFAULT_RAY_CHUNK,
     mesh=None,
 ):
     """Scan `n_inner` optimization steps inside ONE jitted program.
@@ -462,7 +469,7 @@ def train_nerf_fused(
     """
     if mesh == "auto":
         mesh = mesh_lib.auto_mesh()
-    field = _kernel_safe_field(field, images, sils)
+    field = _kernel_safe_field(field, render_cfg, train_cfg, images, sils)
     H, n = images.shape[0], images.shape[1]
     S = images.shape[2]
     min_d, max_d = depth_bounds(np.asarray(t_bop).reshape(-1, 3), depth_margin)
@@ -581,7 +588,7 @@ def train_nerf(
     """
     if mesh == "auto":
         mesh = mesh_lib.auto_mesh()
-    field = _kernel_safe_field(field, images, sils)
+    field = _kernel_safe_field(field, render_cfg, train_cfg, images, sils)
     S = images.shape[1]
     cam_all = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
     min_d, max_d = depth_bounds(t_bop, depth_margin)

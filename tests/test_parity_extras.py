@@ -146,12 +146,19 @@ def test_image_grid_tiles_and_validates():
 
 
 def test_kernel_safe_field_falls_back_at_large_view_banks(monkeypatch):
-    """Round-4 libtpu fault guard: AUTO-enabled fused kernel must fall back
-    to the flax path once the resident view bank exceeds the limit; an
-    explicit fused_kernel=True must be left alone."""
+    """Round-4 libtpu fault guard: the fault is specific to the SPLIT
+    fwd/bwd kernels, so the flax fallback applies only when the split path
+    would run (multi-chunk steps or FUSED_LOSS_KERNEL=0) AND the view bank
+    exceeds the limit; single-chunk steps take the fused bundle-loss
+    kernel, which is fault-free at any bank size.  An explicit
+    fused_kernel=True is always left alone."""
     import jax.numpy as jnp
 
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import (
+        FieldConfig,
+        NerfTrainConfig,
+        RenderConfig,
+    )
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields as f
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import nerf_trainer as nt
 
@@ -161,10 +168,22 @@ def test_kernel_safe_field_falls_back_at_large_view_banks(monkeypatch):
     auto = f.NerfField(FieldConfig(act_dtype="bfloat16"))
     small = jnp.zeros((4, 32, 32, 3), jnp.float32)
     big_shape = type("B", (), {"shape": (1280, 224, 224, 3), "dtype": jnp.float32})()
+    # reference schedule: 3 cams x 400 rays = single chunk -> fused path
+    rc, tc = RenderConfig(), NerfTrainConfig()
+    # large-ray-batch schedule: multi-chunk -> split kernels -> guarded
+    rc_big = RenderConfig(n_rays_per_image=8192)
 
-    assert nt._kernel_safe_field(auto, small, small) is auto
-    guarded = nt._kernel_safe_field(auto, big_shape)
+    assert nt._kernel_safe_field(auto, rc, tc, small, small) is auto
+    # single-chunk + huge bank: fused-loss kernel handles it, no fallback
+    assert nt._kernel_safe_field(auto, rc, tc, big_shape) is auto
+    # multi-chunk + huge bank: split kernels would fault -> flax fallback
+    guarded = nt._kernel_safe_field(auto, rc_big, tc, big_shape)
     assert guarded is not auto and guarded.cfg.fused_kernel is False
+    # fused-loss disabled by env + huge bank: same fallback
+    monkeypatch.setenv("FUSED_LOSS_KERNEL", "0")
+    guarded2 = nt._kernel_safe_field(auto, rc, tc, big_shape)
+    assert guarded2 is not auto and guarded2.cfg.fused_kernel is False
+    monkeypatch.delenv("FUSED_LOSS_KERNEL")
 
     forced = f.NerfField(FieldConfig(act_dtype="bfloat16", fused_kernel=True))
-    assert nt._kernel_safe_field(forced, big_shape) is forced
+    assert nt._kernel_safe_field(forced, rc_big, tc, big_shape) is forced
