@@ -108,7 +108,12 @@ def main():
     t = time.perf_counter()
     bank = pose_trainer.load_ray_bank(cors, IMG, N_VIEWS)
     a1 = artifacts.load_array(cors, "a1.npy")
-    cfg = PoseTrainConfig()
+    # DS_KEY_NOISE: descriptor-overfitting regularizer ablation (round-4
+    # cross-eval: the CNN memorizes the field's high-frequency descriptor
+    # texture on training views; key noise blunts it).  Reference value
+    # 1e-3 (trainPose.py key jitter).
+    cfg = PoseTrainConfig(
+        key_noise=float(os.environ.get("DS_KEY_NOISE", "1e-3")))
     neg = pose_trainer.build_negatives(
         field, state.params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
         a1, cfg, image_size=IMG, n_loops=20, threshold=0.2,
