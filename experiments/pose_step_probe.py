@@ -79,7 +79,7 @@ def main():
     aug_cfg = aug_lib.AugmentConfig()
     field = fields.NerfField(FieldConfig(act_dtype="bfloat16"))
     nerf_params = fields.init_field(field, jax.random.PRNGKey(0))
-    cnn = ResNetUNet()
+    cnn = ResNetUNet(norm_dtype=jnp.bfloat16 if os.environ.get("POSE_GN_BF16") else jnp.float32)
     cnn_params = jax.jit(cnn.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
     rng = np.random.default_rng(0)
     pos_vec = jnp.asarray(rng.normal(size=(B, 512, 3)) * 0.3, jnp.float32)

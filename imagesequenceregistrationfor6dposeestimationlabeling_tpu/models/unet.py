@@ -29,20 +29,26 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # GroupNorm IO dtype.  flax computes the group statistics in fp32
+    # regardless (linen normalization promotes stats); fp32 here ALSO
+    # materializes every normalized activation in fp32, doubling the
+    # inter-conv HBM traffic — bfloat16 keeps the conv chain bf16
+    # end-to-end with fp32 stats/params (mixed-precision standard).
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1, use_bias=False, dtype=self.dtype)(x)
-        y = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(y)
+        y = nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(y)
-        y = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(y)
+        y = nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(y)
         if residual.shape[-1] != self.features or self.stride != 1:
             residual = nn.Conv(
                 self.features, (1, 1), (self.stride, self.stride), use_bias=False, dtype=self.dtype
             )(residual)
-            residual = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(residual)
+            residual = nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(residual)
         return nn.relu(y + residual.astype(y.dtype))
 
 
@@ -54,6 +60,7 @@ class ResNetUNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     decoder_width: int = 64
     dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32  # see BasicBlock.norm_dtype
 
     @nn.compact
     def __call__(self, x):
@@ -61,14 +68,14 @@ class ResNetUNet(nn.Module):
         x = x.astype(self.dtype)
         # stem: 7x7/2 + maxpool/2
         s0 = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, dtype=self.dtype)(x)
-        s0 = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(s0))  # H/2
+        s0 = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(s0))  # H/2
         h = nn.max_pool(s0, (3, 3), (2, 2), padding=((1, 1), (1, 1)))  # H/4
 
         skips = [s0]
         for i, (n_blocks, w) in enumerate(zip(self.stage_sizes, self.widths)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
-                h = BasicBlock(w, stride, self.dtype)(h)
+                h = BasicBlock(w, stride, self.dtype, self.norm_dtype)(h)
             skips.append(h)
         # skips: [H/2 (64), H/4 (64), H/8 (128), H/16 (256), H/32 (512)]
 
@@ -81,11 +88,11 @@ class ResNetUNet(nn.Module):
             h = upsample_to(h, skip.shape[1], skip.shape[2])
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
             h = nn.Conv(self.decoder_width * 2, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
-            h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
+            h = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(h))
         # final upsample to full res
         h = upsample_to(h, H, W)
         h = nn.Conv(self.decoder_width, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
-        h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h))
+        h = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.norm_dtype)(h))
         out = nn.Conv(self.n_class, (1, 1), dtype=jnp.float32)(h)
         return out.astype(jnp.float32)
 

@@ -114,3 +114,25 @@ def test_pose_training_loss_decreases(cors_setup):
         np.asarray(jax.tree.leaves(p1["feature_layer"])[0]),
     )
     assert trunk_same and feat_moved
+
+
+def test_unet_bf16_groupnorm_matches_fp32():
+    """norm_dtype=bfloat16 keeps fp32 group statistics (flax promotes) —
+    outputs must match the fp32-GN net to bf16 tolerance with IDENTICAL
+    param structure (checkpoint compatible)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.unet import ResNetUNet
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), np.float32))
+    m32 = ResNetUNet(widths=(8, 16, 16, 16), stage_sizes=(1, 1, 1, 1))
+    m16 = ResNetUNet(widths=(8, 16, 16, 16), stage_sizes=(1, 1, 1, 1),
+                     norm_dtype=jnp.bfloat16)
+    p = m32.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m16.init(jax.random.PRNGKey(0), x))
+    y32 = m32.apply(p, x)
+    y16 = m16.apply(p, x)  # same params: only the GN IO dtype differs
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               atol=5e-2, rtol=5e-2)
