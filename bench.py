@@ -494,7 +494,8 @@ def quality_main():
     views = int(os.environ.get("BENCH_QUALITY_VIEWS", 256))
     steps = int(os.environ.get("BENCH_QUALITY_STEPS", 60000))
     n_infer = int(os.environ.get("BENCH_QUALITY_INFER", 16))
-    d = os.path.join(_CACHE, f"dscale_{views}v_{steps}s")
+    tag = os.environ.get("BENCH_QUALITY_TAG", "")  # descriptor_scale DS_TAG
+    d = os.path.join(_CACHE, f"dscale_{views}v_{steps}s" + (f"_{tag}" if tag else ""))
     if not checkpoint.exists(os.path.join(d, "encoderRGBlatest")):
         print(json.dumps({
             "metric": "strict_add_quality", "value": None, "unit": "median_add",
