@@ -72,6 +72,18 @@ import os as _os
 # target points per grid step (R_tile = _TILE_PTS // P); env override for
 # tile-size experiments (experiments/field_kernel_probe.py sweep)
 _TILE_PTS = int(_os.environ.get("FIELD_KERNEL_TILE", "1024"))
+_TILE_ENV = "FIELD_KERNEL_TILE" in _os.environ
+
+
+def _tile_pts(P: int) -> int:
+    """Per-pass tile target: the loss-kernel sweep (EXPERIMENTS.md) measured
+    the fine pass (P=320) faster at 2048 (13.57 vs 13.96 ms) but the coarse
+    pass (P=64) faster at 1024 (2.81 vs 3.03) — deep rays amortize the
+    per-tile weight DMA over more work, shallow rays just pay more VMEM
+    pressure.  An explicit FIELD_KERNEL_TILE overrides both (sweeps)."""
+    if _TILE_ENV:
+        return _TILE_PTS
+    return 2048 if P >= 256 else _TILE_PTS
 
 # recompute h1/h2/c1 in the backward kernel instead of storing them
 # (see module docstring); FIELD_KERNEL_RECOMPUTE=0 restores the
@@ -946,7 +958,7 @@ def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
         # the in-kernel composite at rt == 1 ("Offset change" on a
         # (1, P) multi_reduction, probed at FIELD_KERNEL_TILE=512) — pad
         # the ray axis instead of shrinking the tile below 2
-        rt = max(2, _TILE_PTS // P)
+        rt = max(2, _tile_pts(P) // P)
         rt = min(rt, max(R, 2))
         pad = (-R) % rt
         if pad:

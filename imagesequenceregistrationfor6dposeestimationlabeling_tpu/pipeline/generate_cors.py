@@ -180,7 +180,13 @@ def views_surface_hits(
 
     With a ``mesh``, views are processed in mesh-sized groups — each group
     vmapped with the view axis sharded over 'data', so every device owns
-    one view's render (SURVEY §2c view-axis DP for this stage)."""
+    one view's render (SURVEY §2c view-axis DP for this stage).
+
+    Single-device, the sequential per-view lax.map stays: a vmap-block
+    variant (views batched 8 at a time) measured bit-identical outputs
+    but NO win (1.25 vs 1.09 s warm for 8 views x 16k rays — the phase
+    is device-compute-bound, not dispatch-bound; EXPERIMENTS.md round
+    4), so the simpler single-view program shape is kept."""
 
     multi = mesh is not None and mesh.devices.size > 1
 
@@ -194,6 +200,7 @@ def views_surface_hits(
         )
 
     args = (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)
+    V = int(cams.R.shape[0])
     if mesh is None or mesh.devices.size <= 1:
         return jax.lax.map(one, args)
 
@@ -202,7 +209,6 @@ def views_surface_hits(
     )
 
     g = int(mesh.devices.size)
-    V = int(cams.R.shape[0])
     pad = (-V) % g
 
     def pad_group(x):
