@@ -61,6 +61,32 @@ import time
 import numpy as np
 
 
+def _latest_quality_summary():
+    """Strict-ADD summary of the newest QUALITY_r0N.json next to this file,
+    so BENCH_r0N.json is self-contained on pose quality (VERDICT r4 #10)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(repo, "QUALITY_r[0-9]*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            # the artifact may hold several JSON lines; keep the last
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        q = json.loads(lines[-1])
+        d = q.get("detail", q)
+        return {
+            "artifact": os.path.basename(paths[-1]),
+            "views": d.get("views"),
+            "pose_steps": d.get("pose_steps"),
+            "strict": d.get("pose_correct"),
+            "median_add": d.get("median_add") or q.get("value"),
+        }
+    except Exception:
+        return None
+
+
 def _finite(x):
     """json.dumps would emit bare NaN/Infinity (invalid JSON) — sanitize
     non-finite floats to None, recursively."""
@@ -422,6 +448,11 @@ def _headline(runs, t_data) -> dict:
     # bench-budget ADD numbers alone would conclude the wrong thing
     detail["measures"] = "pipeline throughput at bench-scale training"
     detail["quality_artifact"] = "QUALITY_r0N.json (reference-schedule ADD)"
+    # self-contained quality context (VERDICT r4 #10): surface the latest
+    # reference-schedule strict rate directly in the bench artifact
+    q = _latest_quality_summary()
+    if q:
+        detail["strict_rate_reference_schedule"] = q
     return {
         "metric": "synthetic_e2e_registration_wallclock",
         "value": elapsed,

@@ -33,7 +33,11 @@ N_VIEWS = int(os.environ.get("DS_VIEWS", 256))
 IMG = int(os.environ.get("DS_IMG", 224))
 NERF_STEPS = int(os.environ.get("DS_NERF_STEPS", 2500))
 POSE_STEPS = int(os.environ.get("DS_POSE_STEPS", 10000))
-N_INFER = int(os.environ.get("DS_INFER", 16))
+N_INFER = int(os.environ.get("DS_INFER", 64))
+# held-out images used ONLY for DS_EVAL_EVERY checkpoint selection — kept
+# disjoint from the N_INFER report set (VERDICT r4 weak #5: selection on
+# the report set leaks future information into the reported number)
+N_SELECT = int(os.environ.get("DS_SELECT", 16))
 # optional suffix so ablation reruns (e.g. scaled NeRF steps) don't
 # overwrite the canonical dscale_<views>v_<steps>s checkpoint dir
 TAG = os.environ.get("DS_TAG", "")
@@ -41,6 +45,10 @@ TAG = os.environ.get("DS_TAG", "")
 # the reference labels both halves by running the pipeline twice
 # (README.md:52-60); DS_TRAIN_HALF=1 measures the mirrored direction
 TRAIN_HALF = int(os.environ.get("DS_TRAIN_HALF", 0))
+# scene kind: "analytic" (volumetric blob), "mesh" (rasterized, flat
+# shading) or "mesh_tex" (rasterized + high-frequency procedural texture —
+# the texture-anchoring hypothesis run, EXPERIMENTS.md round 4)
+SCENE = os.environ.get("DS_SCENE", "analytic")
 _CACHE = os.path.join(_REPO, ".bench_cache")
 
 
@@ -69,13 +77,20 @@ def main():
         load_scene_cached,
     )
 
-    out_root = tempfile.mkdtemp(prefix="dscale_")
+    # DS_OUT_ROOT: stable artifact root shared by knob-ablation runs — the
+    # NeRF field, cors artifacts and negatives are identical across
+    # descriptor-knob sweeps (same scene/seed/schedule), so reruns skip
+    # ~6 min of recompute AND every ablation trains against the exact same
+    # field (generate_cors already has per-view idempotent skip).
+    out_root = os.environ.get("DS_OUT_ROOT") or tempfile.mkdtemp(prefix="dscale_")
+    os.makedirs(out_root, exist_ok=True)
     timings = {}
     t0 = time.perf_counter()
 
-    scene0 = load_scene_cached(TRAIN_HALF, N_VIEWS, IMG, cache_dir=_CACHE)
-    scene1 = load_scene_cached(1 - TRAIN_HALF, max(N_INFER, 16), IMG,
-                               cache_dir=_CACHE)
+    scene0 = load_scene_cached(TRAIN_HALF, N_VIEWS, IMG, cache_dir=_CACHE, kind=SCENE)
+    # other-half views: [0:N_INFER] = report set, [N_INFER:] = selection set
+    scene1 = load_scene_cached(1 - TRAIN_HALF, N_INFER + N_SELECT, IMG,
+                               cache_dir=_CACHE, kind=SCENE)
     diam = scene0.diameter
     scale = diam / 1.8
     timings["data"] = round(time.perf_counter() - t0, 1)
@@ -86,20 +101,31 @@ def main():
     # NeRF phase, which dominates this run's wall time)
     field = fields.NerfField(FieldConfig(act_dtype=os.environ.get("ACT_DTYPE", "bfloat16")))
 
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
+
     t = time.perf_counter()
-    state, losses = nerf_trainer.train_nerf(
-        scene0.images, scene0.sils, scene0.R_bop, scene0.t_bop, scene0.K, field,
-        render_cfg=RenderConfig(), train_cfg=NerfTrainConfig(),
-        n_steps=NERF_STEPS, steps_per_call=50,
-    )
-    timings["nerf"] = round(time.perf_counter() - t, 1)
-    print(f"nerf: loss {np.mean(losses[:20]):.2f} -> {np.mean(losses[-20:]):.2f} "
-          f"({timings['nerf']} s)", flush=True)
+    nerf_ckpt = os.path.join(out_root, f"nerf_{SCENE}_{N_VIEWS}v_{NERF_STEPS}s_{IMG}")
+    if checkpoint.exists(nerf_ckpt):
+        like = fields.init_field(field, jax.random.PRNGKey(0))
+        params_fine, _ = checkpoint.load(nerf_ckpt, like=like)
+        timings["nerf"] = round(time.perf_counter() - t, 1)
+        print(f"nerf: cached <- {nerf_ckpt} ({timings['nerf']} s)", flush=True)
+    else:
+        state, losses = nerf_trainer.train_nerf(
+            scene0.images, scene0.sils, scene0.R_bop, scene0.t_bop, scene0.K, field,
+            render_cfg=RenderConfig(), train_cfg=NerfTrainConfig(),
+            n_steps=NERF_STEPS, steps_per_call=50,
+        )
+        params_fine = state.params_fine
+        checkpoint.save(nerf_ckpt, params_fine, NERF_STEPS)
+        timings["nerf"] = round(time.perf_counter() - t, 1)
+        print(f"nerf: loss {np.mean(losses[:20]):.2f} -> {np.mean(losses[-20:]):.2f} "
+              f"({timings['nerf']} s)", flush=True)
 
     t = time.perf_counter()
     exp0 = os.path.join(out_root, "0_synth_obj_1")
     cors = generate_cors.generate_cors(
-        field, state.params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+        field, params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
         exp0, 1, CorsConfig(density_threshold=0.2), grid_res=128, image_size=IMG,
     )
     timings["cors"] = round(time.perf_counter() - t, 1)
@@ -112,17 +138,38 @@ def main():
     # cross-eval: the CNN memorizes the field's high-frequency descriptor
     # texture on training views; key noise blunts it).  Reference value
     # 1e-3 (trainPose.py key jitter).
+    # descriptor-overfitting regularizer knobs (round-5 sweep; defaults are
+    # reference parity — see PoseTrainConfig in config.py)
     cfg = PoseTrainConfig(
-        key_noise=float(os.environ.get("DS_KEY_NOISE", "1e-3")))
-    neg = pose_trainer.build_negatives(
-        field, state.params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
-        a1, cfg, image_size=IMG, n_loops=20, threshold=0.2,
+        key_noise=float(os.environ.get("DS_KEY_NOISE", "1e-3")),
+        pos_noise=float(os.environ.get("DS_POS_NOISE", "0")),
+        infonce_temp=float(os.environ.get("DS_TEMP", "1")),
+        head_weight_decay=float(os.environ.get("DS_WD", "0")),
     )
-    print(f"negatives: {neg.shape}", flush=True)
-    aug_cfg = aug_lib.AugmentConfig(crop_res=IMG, min_mask_sum=10.0, p_distractor=0.3)
+    neg_path = os.path.join(out_root, f"neg_{SCENE}_{N_VIEWS}v_{IMG}.npy")
+    if os.path.exists(neg_path):
+        neg = np.load(neg_path)
+        print(f"negatives: cached {neg.shape}", flush=True)
+    else:
+        neg = pose_trainer.build_negatives(
+            field, params_fine, scene0.R_bop, scene0.t_bop, scene0.K, scene0.sils,
+            a1, cfg, image_size=IMG, n_loops=20, threshold=0.2,
+        )
+        np.save(neg_path, np.asarray(neg))
+        print(f"negatives: {neg.shape}", flush=True)
+    # DS_AUG_BOOST scales the geometric-jitter strength; DS_P_DISTRACTOR the
+    # occluder paste rate (aug diversity is a view-count-scaled overfitting
+    # lever — VERDICT r4 next #1)
+    boost = float(os.environ.get("DS_AUG_BOOST", "1"))
+    aug_cfg = aug_lib.AugmentConfig(
+        crop_res=IMG, min_mask_sum=10.0,
+        p_distractor=float(os.environ.get("DS_P_DISTRACTOR", "0.3")),
+        scale_jitter=0.075 * boost, trans_frac=0.1 * boost,
+    )
 
-    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:N_INFER])))
-    Ks = np.asarray(scene1.K[:N_INFER]).astype(np.float32)
+    n_eval = N_INFER + N_SELECT
+    imgs_n = np.asarray(normalize_image(jnp.asarray(scene1.images[:n_eval])))
+    Ks = np.asarray(scene1.K[:n_eval]).astype(np.float32)
     Ks[:, 0:2, 2] -= 0.5
     thresh = 0.1 * diam * scale
 
@@ -136,27 +183,32 @@ def main():
         n_real = int(np.load(n_keys_p)[0]) if os.path.exists(n_keys_p) else v.shape[0]
         return v, f, nrm, n_real
 
-    def eval_adds(cnn, cnn_params, verts_scaled, feats, n_real):
+    def eval_adds(cnn, cnn_params, verts_scaled, feats, n_real, lo=0, hi=None):
+        """Per-image ADD on other-half views [lo:hi] ([0:N_INFER] = report
+        set, [N_INFER:] = the DS_EVAL_EVERY selection set)."""
+        hi = N_INFER if hi is None else hi
         pred_R, pred_t = inference.run_sequence(
-            cnn, cnn_params, imgs_n, np.asarray(scene1.sils[:N_INFER]), Ks,
-            verts_scaled, feats, cfg=InferenceConfig(), batch=min(8, N_INFER),
+            cnn, cnn_params, imgs_n[lo:hi], np.asarray(scene1.sils[lo:hi]),
+            Ks[lo:hi], verts_scaled, feats, cfg=InferenceConfig(),
+            batch=min(8, hi - lo),
         )
         # metric cloud without the cycled pad tail (duplicates would
         # double-weight the cycled prefix in the ADD mean)
         verts_j = jnp.asarray(verts_scaled[:n_real], jnp.float32)
         return [
             float(metrics.add_metric(
-                verts_j, jnp.asarray(scene1.R_bop[i]),
-                jnp.asarray(scene1.t_bop[i]) * scale,
+                verts_j, jnp.asarray(scene1.R_bop[lo + i]),
+                jnp.asarray(scene1.t_bop[lo + i]) * scale,
                 jnp.asarray(pred_R[i]), jnp.asarray(pred_t[i])))
-            for i in range(N_INFER)
+            for i in range(hi - lo)
         ]
 
     # DS_EVAL_EVERY>0 trains in segments with a held-out ADD eval (bake +
-    # infer on the other half) after each, and keeps the BEST checkpoint —
-    # train-InfoNCE is not a quality proxy for the descriptor phase
-    # (EXPERIMENTS.md round-4 cross-eval: a lower-loss CNN can collapse on
-    # novel views), so model selection must use the held-out metric.
+    # infer on the SELECTION pool, disjoint from the report set) after each,
+    # and keeps the BEST checkpoint — train-InfoNCE is not a quality proxy
+    # for the descriptor phase (EXPERIMENTS.md round-4 cross-eval: a
+    # lower-loss CNN can collapse on novel views), so model selection must
+    # use a held-out metric; the report metric stays untouched.
     eval_every = int(os.environ.get("DS_EVAL_EVERY", 0))
     plosses = []
     step_curve = []
@@ -169,26 +221,28 @@ def main():
             # replays the RNG/batch schedule from resume_state.step)
             done = min(done + eval_every, POSE_STEPS)
             pstate, cnn, pl = pose_trainer.train_pose(
-                field, state.params_fine, scene0.images, scene0.sils, bank,
+                field, params_fine, scene0.images, scene0.sils, bank,
                 neg, cfg=cfg, aug_cfg=aug_cfg, n_steps=done,
                 steps_per_call=50, resume_state=pstate,
             )
             plosses.extend(np.asarray(pl).tolist())
             v, f, nrm, n_real = bake(pstate.nerf_params)
-            adds = eval_adds(cnn, pstate.cnn_params, v, f, n_real)
+            adds = eval_adds(cnn, pstate.cnn_params, v, f, n_real,
+                             lo=N_INFER, hi=N_INFER + N_SELECT)
             ok = int(sum(a < thresh for a in adds))
             med = float(np.median(adds))
-            step_curve.append({"step": done, "correct": f"{ok}/{N_INFER}",
+            step_curve.append({"step": done, "correct": f"{ok}/{N_SELECT}",
                                "median_add": round(med, 4)})
-            print(f"eval @{done}: {ok}/{N_INFER} median {med:.4f}", flush=True)
+            print(f"select-eval @{done}: {ok}/{N_SELECT} median {med:.4f}",
+                  flush=True)
             if best is None or (ok, -med) > (best[0], -best[1]):
                 best = (ok, med, done, pstate)
         pstate = best[3]
-        print(f"best checkpoint: step {best[2]} ({best[0]}/{N_INFER}, "
+        print(f"best checkpoint: step {best[2]} ({best[0]}/{N_SELECT}, "
               f"median {best[1]:.4f})", flush=True)
     else:
         pstate, cnn, plosses = pose_trainer.train_pose(
-            field, state.params_fine, scene0.images, scene0.sils, bank, neg,
+            field, params_fine, scene0.images, scene0.sils, bank, neg,
             cfg=cfg, aug_cfg=aug_cfg, n_steps=POSE_STEPS, steps_per_call=50,
         )
     timings["pose"] = round(time.perf_counter() - t, 1)
@@ -197,10 +251,9 @@ def main():
 
     # persist the trained nets so later rounds can reuse them (the pose
     # phase is hours; everything else regenerates in minutes)
-    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import checkpoint
-
     save_dir = os.path.join(
         _CACHE, f"dscale_{N_VIEWS}v_{POSE_STEPS}s"
+        + ("" if SCENE == "analytic" else f"_{SCENE}")
         + ("_h1" if TRAIN_HALF else "") + (f"_{TAG}" if TAG else ""))
     checkpoint.save(os.path.join(save_dir, "encoderRGBlatest"), pstate.cnn_params, POSE_STEPS)
     checkpoint.save(os.path.join(save_dir, "nerflatest"), pstate.nerf_params, POSE_STEPS)
@@ -223,18 +276,26 @@ def main():
     timings["total"] = round(time.perf_counter() - t0, 1)
 
     out = {
-        "views": N_VIEWS, "train_half": TRAIN_HALF,
-        "pose_steps": POSE_STEPS, "n_neg": int(neg.shape[0]),
+        "views": N_VIEWS, "train_half": TRAIN_HALF, "scene": SCENE,
+        "pose_steps": POSE_STEPS, "nerf_steps": NERF_STEPS,
+        "n_neg": int(neg.shape[0]),
         "n_keys": n_real, "n_keys_padded": int(verts_scaled.shape[0]),
         "pose_correct": f"{correct}/{N_INFER}",
         "median_add": round(float(np.median(adds)), 4),
         "add_thresh": round(thresh, 4),
         "adds": [round(a, 3) for a in adds],
+        "knobs": {
+            "key_noise": cfg.key_noise, "pos_noise": cfg.pos_noise,
+            "infonce_temp": cfg.infonce_temp,
+            "head_weight_decay": cfg.head_weight_decay,
+            "aug_boost": boost, "p_distractor": aug_cfg.p_distractor,
+        },
         "timings_s": timings,
     }
     if step_curve:
         out["step_curve"] = step_curve
         out["best_step"] = best[2]
+        out["n_select"] = N_SELECT
     print(json.dumps(out), flush=True)
 
 

@@ -64,7 +64,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     print(f"sincos={field_kernel._PROBE_SINCOS} softplus={field_kernel._PROBE_SOFTPLUS} "
-          f"tile={field_kernel._TILE_PTS} recompute={field_kernel._RECOMPUTE}")
+          f"tile={field_kernel._TILE_PTS}")
 
     for name, P in (("fine", 320), ("coarse", 64)):
         pts = jax.random.uniform(key, (H, RAYS, P, 3), minval=-1.0, maxval=1.0)

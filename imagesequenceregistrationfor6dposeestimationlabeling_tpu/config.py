@@ -91,6 +91,21 @@ class PoseTrainConfig:
     infonce_scale: float = 1e-3             # CE/1000, nutil.py:366,385
     ckpt_every: int = 100
     seed: int = 1
+    # --- descriptor-overfitting regularizers (no reference analog; the
+    # reference trains on texture-rich photos where the descriptors are
+    # anchored by appearance — EXPERIMENTS.md round-4 cross-eval shows our
+    # texture-poor regime needs the descriptor FIELD smoothed instead).
+    # Positional jitter on the POSITIVE key sample points (the negatives
+    # already get cfg.key_noise, trainPose.py:357-376): trains the feature
+    # head + CNN pair to be invariant to ~pos_noise surface-correspondence
+    # error.  0.0 = reference parity.
+    pos_noise: float = 0.0
+    # InfoNCE temperature: logits are divided by this before the softmax.
+    # 1.0 = reference parity (raw dot products, nutil.py:368-385).
+    infonce_temp: float = 1.0
+    # AdamW weight decay on the trainable NeRF feature head (the 'train'
+    # group of make_pose_optimizer).  0.0 = reference parity (plain Adam).
+    head_weight_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,31 @@ def blob_mesh(subdivisions: int = 3):
     return verts.astype(np.float32), faces, colors.astype(np.float32), normals
 
 
+def procedural_albedo(p: jnp.ndarray) -> jnp.ndarray:
+    """High-frequency procedural albedo for surface points (px, 3) -> (px, 3).
+
+    Multi-octave phase-warped sinusoids ("marble") mixed with a rotated
+    checker — deterministic, non-repeating at the object scale (~0.6
+    radius: frequencies 9-40 rad/unit give ~5-20 px features at the
+    default 224^2 / f=2.1S framing).  Fills the role of the reference
+    cow's texture image (cowrendersynth.py:127-141) for the texture-
+    anchoring hypothesis (EXPERIMENTS.md round-4: texture-rich surfaces
+    plausibly anchor descriptors that our flat-shaded scene cannot).
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    warp = 0.35 * jnp.sin(9.0 * y + 2.0 * jnp.cos(7.0 * z))
+    m1 = jnp.sin(14.0 * x + 3.0 * jnp.sin(11.0 * y) + warp)
+    m2 = jnp.sin(17.0 * (y + 0.6 * z) + 2.0 * jnp.cos(13.0 * x))
+    # soft checker in a rotated frame (sharp edges = localizable features)
+    u = 0.8 * x + 0.6 * z
+    v = 0.8 * y - 0.6 * z
+    checker = jnp.tanh(6.0 * jnp.sin(20.0 * u) * jnp.sin(20.0 * v))
+    r = 0.55 + 0.30 * m1 + 0.12 * checker
+    g = 0.50 + 0.28 * m2 - 0.10 * checker
+    b = 0.45 + 0.22 * jnp.sin(26.0 * z + 2.0 * m1) + 0.08 * m2
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.02, 1.0)
+
+
 class MeshScene(NamedTuple):
     images: np.ndarray     # (N, S, S, 3) float32 in [0, 1]
     sils: np.ndarray       # (N, S, S) float32 in {0, 1}
@@ -103,6 +128,7 @@ def make_mesh_scene(
     key=None,
     subdivisions: int = 3,
     dist: float = 4.0,
+    textured: bool = False,
 ) -> MeshScene:
     """generate_cow_renders(WithRT) equivalent (cowrendersynth.py:1189-1336):
     N rasterized views + silhouettes + BOP-convention poses/intrinsics."""
@@ -128,7 +154,10 @@ def make_mesh_scene(
     imgs, sils, depths = [], [], []
     for i in range(n_views):
         cam_i = cam_lib.Camera(cams.R[i], cams.T[i], cams.focal[i], cams.principal[i], S)
-        rgb, sil, depth = rasterize.render_mesh(v_j, f_j, c_j, n_j, cam_i, S)
+        rgb, sil, depth = rasterize.render_mesh(
+            v_j, f_j, c_j, n_j, cam_i, S,
+            albedo_fn=procedural_albedo if textured else None,
+        )
         imgs.append(rgb)
         sils.append(sil)
         depths.append(depth)

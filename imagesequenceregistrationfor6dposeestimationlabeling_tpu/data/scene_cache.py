@@ -22,13 +22,20 @@ _DEFAULT_CACHE = os.path.join(
 )
 
 
-def load_scene_cached(seed: int, n_views: int, image_size: int, cache_dir: str | None = None):
-    """Return a ``SyntheticScene``, generating and caching it if absent."""
+def load_scene_cached(seed: int, n_views: int, image_size: int, cache_dir: str | None = None,
+                      kind: str = "analytic"):
+    """Return a ``SyntheticScene``, generating and caching it if absent.
+
+    ``kind``: "analytic" (volumetric blob, synthetic.make_scene),
+    "mesh" (rasterized blob mesh, flat NOCS shading) or "mesh_tex"
+    (rasterized with the high-frequency procedural texture — the
+    texture-anchoring experiment's data, EXPERIMENTS.md round 4)."""
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import synthetic
 
     cache_dir = cache_dir or _DEFAULT_CACHE
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"scene_{seed}_{n_views}_{image_size}.npz")
+    prefix = "scene" if kind == "analytic" else f"scene-{kind}"
+    path = os.path.join(cache_dir, f"{prefix}_{seed}_{n_views}_{image_size}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return synthetic.SyntheticScene(
@@ -36,9 +43,24 @@ def load_scene_cached(seed: int, n_views: int, image_size: int, cache_dir: str |
             R_bop=jnp.asarray(z["R_bop"]), t_bop=jnp.asarray(z["t_bop"]),
             K=jnp.asarray(z["K"]), diameter=float(z["diameter"]),
         )
-    scene = synthetic.make_scene(
-        n_views=n_views, image_size=image_size, key=jax.random.PRNGKey(seed)
-    )
+    if kind == "analytic":
+        scene = synthetic.make_scene(
+            n_views=n_views, image_size=image_size, key=jax.random.PRNGKey(seed)
+        )
+    elif kind in ("mesh", "mesh_tex"):
+        from imagesequenceregistrationfor6dposeestimationlabeling_tpu.data import mesh_scene
+
+        ms = mesh_scene.make_mesh_scene(
+            n_views=n_views, image_size=image_size, key=jax.random.PRNGKey(seed),
+            subdivisions=4, textured=(kind == "mesh_tex"),
+        )
+        scene = synthetic.SyntheticScene(
+            images=jnp.asarray(ms.images), sils=jnp.asarray(ms.sils),
+            R_bop=jnp.asarray(ms.R_bop), t_bop=jnp.asarray(ms.t_bop),
+            K=jnp.asarray(ms.K), diameter=float(ms.diameter),
+        )
+    else:
+        raise ValueError(f"unknown scene kind: {kind!r}")
     jax.block_until_ready(scene.images)
     # atomic publish: an interrupted or concurrent writer must never leave a
     # truncated .npz that poisons every later run

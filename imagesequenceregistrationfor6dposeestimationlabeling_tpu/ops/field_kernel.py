@@ -28,17 +28,19 @@ color head in ONE pass per ray tile with every intermediate in VMEM:
   stop_gradients both inputs so the zeros are never consumed.
 
 Residuals stored for backward (all bf16): the sin/cos embedding blocks
-(storing them is ~0.7 ms of HBM vs ~13 ms to recompute the
-transcendentals on the VPU).  The three hidden post-activations
-(h1, h2, c1) are NOT stored by default: the backward kernel recomputes
-them from es/ec with three extra MXU matmuls (~2 ms/step) instead of
-round-tripping ~2.8 GB/step of (N, 256) bf16 blocks through HBM
-(~4-6 ms/step), and dropping those blocks from the tile frees the VMEM
-that previously capped the ray tile at 1024 points.  The recompute is
-bit-exact: the stored bf16 es/ec are the same values the forward
-matmuls consumed, so softplus(mm(es, w1s) + mm(ec, w1c) + b1) rebuilds
-h1 identically.  FIELD_KERNEL_RECOMPUTE=0 restores the residual-storing
-variant (both are gradient-tested).
+plus the three hidden post-activations h1/h2/c1.  (A recompute-backward
+variant that rebuilt h1/h2/c1 from es/ec measured strictly WORSE on v5e
+— 23.5 vs 21.0 ms for the pair, EXPERIMENTS.md round 4 — and was removed
+in round 5; this split pair is now only the multi-chunk/remat fallback
+behind the fused bundle-loss kernel below.)
+
+KNOWN FAULT (round-4 bisection, EXPERIMENTS.md "Fused-kernel libtpu
+fault"): this split fwd/bwd pair inside a >=10-step scan with a
+>=~300 MB view bank resident crashes the TPU worker (libtpu/Mosaic
+allocation-layout interaction; numerics at small banks are exact).  The
+fused bundle-loss kernel does NOT fault at any bank size.  Mitigation:
+train/nerf_trainer._kernel_safe_field falls back to the flax field path
+when a multi-chunk step would run this pair against a large bank.
 
 Numerics match ``NerfField.apply(..., mode='color')`` with
 ``compute_dtype=bfloat16`` to bf16 tolerance; gradients are emitted in
@@ -84,12 +86,6 @@ def _tile_pts(P: int) -> int:
     if _TILE_ENV:
         return _TILE_PTS
     return 2048 if P >= 256 else _TILE_PTS
-
-# recompute h1/h2/c1 in the backward kernel instead of storing them
-# (see module docstring); FIELD_KERNEL_RECOMPUTE=0 restores the
-# residual-storing kernels.  Default OFF until the TPU probe validates
-# the new Mosaic lowering (flip pending experiments/field_kernel_probe).
-_RECOMPUTE = _os.environ.get("FIELD_KERNEL_RECOMPUTE", "0") != "0"
 
 # Mosaic's scoped-VMEM budget: the compiler default (~16 MiB) is what
 # capped the tile sweep at 1024 (2048 needs 24.25 MiB, EXPERIMENTS.md) —
@@ -232,52 +228,6 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
                      + dpart[:, None, :], beta)                     # (Rt, P, C)
     c1b = c1.astype(bf)
     c1_ref[:] = c1b
-    rgb = jax.nn.sigmoid(mm(c1b.reshape(N, -1), wc2_ref[:].astype(bf))
-                         + bc2_ref[:])
-    rgb_ref[:] = rgb.reshape(Rt, P, 3)
-
-
-def _fwd_kernel_rc(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
-                   w2_ref, b2_ref, wd_ref, bd_ref, wc1h_ref, wc1ds_ref,
-                   wc1dc_ref, bc1_ref, wc2_ref, bc2_ref,
-                   dens_ref, rgb_ref, es_ref, ec_ref,
-                   *, beta):
-    """Forward for the recompute-backward variant: only the sin/cos
-    embedding blocks are persisted (h1/h2/c1 are rebuilt in
-    _bwd_kernel_rc), cutting the forward's residual HBM writes ~3x."""
-    Rt, P, _ = pts_ref.shape
-    N = Rt * P
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-
-    x = pts_ref[:].reshape(N, 3)
-    ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
-    _s, _c = _sincos(ang)
-    es = _s.astype(bf)
-    ec = _c.astype(bf)
-    es_ref[:] = es.reshape(Rt, P, -1)
-    ec_ref[:] = ec.reshape(Rt, P, -1)
-
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
-
-    h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
-                     + b1_ref[:], beta)
-    h1b = h1.astype(bf)
-    h2 = _softplus_b(mm(h1b, w2_ref[:].astype(bf)) + b2_ref[:], beta)
-    h2b = h2.astype(bf)
-
-    raw = _softplus_b(jnp.dot(h2, wd_ref[:], preferred_element_type=f32)
-                      + bd_ref[:], beta)
-    dens_ref[:] = (1.0 - jnp.exp(-raw)).reshape(Rt, P, 1)
-
-    angd = _angles(dirs_ref[:].reshape(Rt, 3), fmat_ref[:])         # (Rt, 3H)
-    dpart = (mm(jnp.sin(angd).astype(bf), wc1ds_ref[:].astype(bf))
-             + mm(jnp.cos(angd).astype(bf), wc1dc_ref[:].astype(bf))
-             + bc1_ref[:])                                          # (Rt, C)
-    c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
-                     + dpart[:, None, :], beta)                     # (Rt, P, C)
-    c1b = c1.astype(bf)
     rgb = jax.nn.sigmoid(mm(c1b.reshape(N, -1), wc2_ref[:].astype(bf))
                          + bc2_ref[:])
     rgb_ref[:] = rgb.reshape(Rt, P, 3)
@@ -489,82 +439,23 @@ def _bwd_kernel(pts_ref, dirs_ref, fmat_ref, w2_ref, wd_ref, wc1h_ref,
         beta)
 
 
-def _bwd_kernel_rc(dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
-                   b2_ref, wd_ref, wc1h_ref, wc1ds_ref, wc1dc_ref, bc1_ref,
-                   wc2_ref, es_ref, ec_ref, dens_ref, rgb_ref, gdens_ref,
-                   grgb_ref,
-                   dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
-                   dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
-                   dwc2_ref, dbc2_ref,
-                   *, beta):
-    """Recompute variant: h1/h2/c1 are rebuilt from the stored bf16 es/ec
-    blocks — the matmul operands are bit-identical to the forward's, so
-    the post-activations (and their bf16 casts) match exactly."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        for r in (dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
-                  dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
-                  dwc2_ref, dbc2_ref):
-            r[:] = jnp.zeros(r.shape, r.dtype)
-
-    Rt, P, _ = es_ref.shape
-    N = Rt * P
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
-
-    es = es_ref[:].reshape(N, -1)
-    ec = ec_ref[:].reshape(N, -1)
-    dirs_flat = dirs_ref[:].reshape(Rt, 3)
-
-    h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
-                     + b1_ref[:], beta)
-    h1b = h1.astype(bf)
-    h2 = _softplus_b(mm(h1b, w2_ref[:].astype(bf)) + b2_ref[:], beta)
-    h2b = h2.astype(bf)
-    angd = _angles(dirs_flat, fmat_ref[:])
-    dpart = (mm(jnp.sin(angd).astype(bf), wc1ds_ref[:].astype(bf))
-             + mm(jnp.cos(angd).astype(bf), wc1dc_ref[:].astype(bf))
-             + bc1_ref[:])                                         # (Rt, C)
-    c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
-                     + dpart[:, None, :], beta)
-    c1b = c1.astype(bf).reshape(N, -1)
-
-    du = _du_from_dens(dens_ref[:].reshape(N, 1), gdens_ref[:].reshape(N, 1),
-                       beta)
-    _grad_math(
-        Rt, P, dirs_flat, fmat_ref[:],
-        w2_ref, wd_ref, wc1h_ref, wc2_ref,
-        h1b, h2b, c1b, es, ec,
-        rgb_ref[:].reshape(N, 3), du, grgb_ref[:].reshape(N, 3),
-        dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
-        dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
-        beta)
-
-
 # ------------------------------------------------------------- wrapper
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
-             recompute: bool = True):
+def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
     """Builds the custom-VJP'd op (weights..., pts, dirs) -> (dens, rgb).
 
     weights: w1s, w1c (3H, C) f32; b1, b2, bc1 (1, C) f32; w2, wc1h (C, C);
     wd (C, 1); bd (1, 1); wc1ds, wc1dc (3H, C); wc2 (C, 3); bc2 (1, 3).
     pts (R, P, 3) f32, dirs (R, 3) f32.  No gradient flows to pts/dirs.
-
-    ``recompute`` selects the residual strategy (module docstring): the
-    backward rebuilds h1/h2/c1 from the stored es/ec (default) vs reading
-    them back from HBM.
     """
     fmat = _freq_matrix(n_harmonic, omega0)
 
     def _grids(R, P):
+        # raw _TILE_PTS on purpose: the per-pass _tile_pts(P) heuristic was
+        # swept only for the fused loss op (loss_kernel_probe); this split
+        # op keeps the validated fixed tile until swept itself (ADVICE r4)
         rt = max(1, _TILE_PTS // P)
         rt = min(rt, R)
         pad = (-R) % rt
@@ -617,14 +508,8 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
             jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
             jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
         ]
-        if recompute:  # drop the h1/h2/c1 stores
-            kern, keep = _fwd_kernel_rc, [0, 1, 5, 6]
-            act_specs = [act_specs[k] for k in keep]
-            act_shapes = [act_shapes[k] for k in keep]
-        else:
-            kern = _fwd_kernel
         outs = pl.pallas_call(
-            functools.partial(kern, beta=beta),
+            functools.partial(_fwd_kernel, beta=beta),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((rt, P, 3), row3),        # pts
@@ -655,12 +540,8 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
     def op_fwd(weights, pts, dirs):
         R = pts.shape[0]
         outs, (pts_p, dirs_p) = fwd_call(weights, pts, dirs)
-        if recompute:
-            dens, rgb, es, ec = outs
-            res = (weights, pts_p, dirs_p, es, ec, dens, rgb, R)
-        else:
-            dens, rgb, h1, h2, c1, es, ec = outs
-            res = (weights, pts_p, dirs_p, h1, h2, c1, es, ec, dens, rgb, R)
+        dens, rgb, h1, h2, c1, es, ec = outs
+        res = (weights, pts_p, dirs_p, h1, h2, c1, es, ec, dens, rgb, R)
         return (dens[:R], rgb[:R]), res
 
     def _pad_cotangents(g, Rp, R):
@@ -670,7 +551,7 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
             grgb = jnp.pad(grgb, ((0, Rp - R), (0, 0), (0, 0)))
         return gdens, grgb
 
-    def op_bwd_stored(res, g):
+    def op_bwd(res, g):
         weights, pts_p, dirs_p, h1, h2, c1, es, ec, dens, rgb, R = res
         (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
          bc2) = weights
@@ -708,54 +589,6 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
             interpret=interpret,
         )(pts_p, dirs_g, jnp.asarray(fmat), w2, wd, wc1h, wc2, h1, h2, c1,
           es, ec, dens, rgb, gdens, grgb)
-        return grads, pts_p, dirs_p
-
-    def op_bwd_recompute(res, g):
-        weights, pts_p, dirs_p, es, ec, dens, rgb, R = res
-        (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
-         bc2) = weights
-        Rp, P, _ = dens.shape
-        C = w2.shape[0]
-        H3 = w1s.shape[0]
-        gdens, grgb = _pad_cotangents(g, Rp, R)
-        rt, n_tiles, _ = _grids(Rp, P)
-        row3 = lambda i: (i, 0, 0)
-        full = lambda i: (0, 0)
-        dirs_g = dirs_p.reshape(n_tiles, rt, 3)  # see fwd_call comment
-        out_specs, out_shape = _grad_specs(C, H3)
-        grads = pl.pallas_call(
-            functools.partial(_bwd_kernel_rc, beta=beta),
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, rt, 3), row3),        # dirs (grouped)
-                pl.BlockSpec(fmat.shape, full),        # fmat
-                pl.BlockSpec(w1s.shape, full), pl.BlockSpec(w1c.shape, full),
-                pl.BlockSpec(b1.shape, full),
-                pl.BlockSpec(w2.shape, full), pl.BlockSpec(b2.shape, full),
-                pl.BlockSpec(wd.shape, full),
-                pl.BlockSpec(wc1h.shape, full), pl.BlockSpec(wc1ds.shape, full),
-                pl.BlockSpec(wc1dc.shape, full), pl.BlockSpec(bc1.shape, full),
-                pl.BlockSpec(wc2.shape, full),
-                pl.BlockSpec((rt, P, H3), row3),       # es
-                pl.BlockSpec((rt, P, H3), row3),       # ec
-                pl.BlockSpec((rt, P, 1), row3),        # dens
-                pl.BlockSpec((rt, P, 3), row3),        # rgb
-                pl.BlockSpec((rt, P, 1), row3),        # gdens
-                pl.BlockSpec((rt, P, 3), row3),        # grgb
-            ],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            compiler_params=_compiler_params(),
-            interpret=interpret,
-        )(dirs_g, jnp.asarray(fmat), w1s, w1c, b1, w2, b2, wd, wc1h,
-          wc1ds, wc1dc, bc1, wc2, es, ec, dens, rgb, gdens, grgb)
-        return grads, pts_p, dirs_p
-
-    def op_bwd(res, g):
-        if recompute:
-            grads, pts_p, dirs_p = op_bwd_recompute(res, g)
-        else:
-            grads, pts_p, dirs_p = op_bwd_stored(res, g)
         R = res[-1]
         return (tuple(grads), jnp.zeros_like(pts_p[:R]),
                 jnp.zeros_like(dirs_p[:R]))
@@ -791,7 +624,7 @@ def field_color(params, pts, dirs, cfg, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
     op = _make_op(float(cfg.softplus_beta), int(H), float(cfg.omega0),
-                  bool(interpret), _RECOMPUTE)
+                  bool(interpret))
     # normalize in XLA with the EXACT flax expression (models/fields.py
     # color()): in-kernel division rounds differently at ulp level, and
     # the top harmonic frequency amplifies an ulp into an O(1) phase shift

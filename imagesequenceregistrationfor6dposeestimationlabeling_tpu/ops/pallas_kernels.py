@@ -183,7 +183,10 @@ def nn_min(
     M = ref.shape[0]
     pad_n = (-N) % tile_n
     pad_m = (-M) % tile_m
-    pad_d = (-D) % 128
+    # the kernel reads q one coordinate column at a time (no MXU), so the
+    # lane pad only needs the fp32 packing minimum — 128-lane padding would
+    # move ~16x the real query bytes per block (ADVICE r4)
+    pad_d = (-D) % 8
     q = jnp.pad(query, ((0, pad_n), (0, pad_d)))
     # ref travels TRANSPOSED (sublane-padded to 8): the kernel reads one
     # (1, TM) coordinate row per axis — no MXU, no 128-lane D padding

@@ -55,7 +55,7 @@ def render_object_coords(
     return coords, mask.reshape(res, res).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "px_chunk"))
+@functools.partial(jax.jit, static_argnames=("res", "px_chunk", "albedo_fn"))
 def render_mesh(
     verts: jnp.ndarray,        # (V, 3) world-frame vertices
     faces: jnp.ndarray,        # (T, 3) int32 triangle indices
@@ -67,6 +67,7 @@ def render_mesh(
     ambient: float = 0.35,
     diffuse: float = 0.65,
     px_chunk: int = 2048,
+    albedo_fn=None,
 ):
     """Z-buffered triangle rasterizer with Lambertian point-light shading.
 
@@ -147,10 +148,16 @@ def render_mesh(
             af = attr_f[best]                             # (px, 3, d)
             return jnp.einsum("pk,pkd->pd", pb, af)
 
-        albedo = interp(col_f)
         nrm = interp(nrm_f)
         nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
         wpos = interp(pos_f)
+        # per-pixel procedural texturing: ``albedo_fn`` maps interpolated
+        # WORLD positions (px, 3) -> albedo (px, 3), giving true
+        # sub-triangle texture frequency (the reference's cow carries a
+        # texture image via pytorch3d TexturesUV, cowrendersynth.py:127-141;
+        # here the texture is a function of the surface point instead of a
+        # UV atlas — no asset download, same appearance richness)
+        albedo = interp(col_f) if albedo_fn is None else albedo_fn(wpos)
         ldir = light_pos[None, :] - wpos
         ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-12)
         lam = jnp.maximum(jnp.sum(nrm * ldir, axis=-1), 0.0)

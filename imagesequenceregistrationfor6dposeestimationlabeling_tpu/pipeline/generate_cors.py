@@ -200,9 +200,9 @@ def views_surface_hits(
         )
 
     args = (cams.R, cams.T, cams.focal, cams.principal, sel_idx, sel_valid)
-    V = int(cams.R.shape[0])
     if mesh is None or mesh.devices.size <= 1:
         return jax.lax.map(one, args)
+    V = int(cams.R.shape[0])
 
     from imagesequenceregistrationfor6dposeestimationlabeling_tpu.parallel import (
         mesh as mesh_lib,

@@ -51,15 +51,19 @@ def info_nce_in_batch(q: jnp.ndarray, k: jnp.ndarray, key: jax.Array, neg_frac: 
     return info_nce_with_neg(q, k, k[:, neg_idx], scale)
 
 
-def info_nce_with_neg(q: jnp.ndarray, k: jnp.ndarray, k_neg: jnp.ndarray, scale: float = 1e-3):
+def info_nce_with_neg(q: jnp.ndarray, k: jnp.ndarray, k_neg: jnp.ndarray, scale: float = 1e-3,
+                      temp: float = 1.0):
     """returnCrossEntropyWithNeg (nutil.py:368-385): per positive pair,
     cross entropy of [q.k, q @ k_neg^T] against class 0, divided by 1000.
 
-    q, k: (B, P, E); k_neg: (B, N, E).
+    q, k: (B, P, E); k_neg: (B, N, E).  ``temp`` divides the logits
+    (1.0 = reference parity: raw dot products).
     """
     sim_pos = jnp.sum(q * k, axis=-1, keepdims=True)  # (B, P, 1)
     sim_neg = jnp.einsum("bpe,bne->bpn", q, k_neg)  # (B, P, N)
     lgts = jnp.concatenate([sim_pos, sim_neg], axis=-1)
+    if temp != 1.0:
+        lgts = lgts / temp
     logz = jax.nn.logsumexp(lgts, axis=-1)
     ce = logz - lgts[..., 0]
     return jnp.mean(ce) * scale
@@ -129,9 +133,16 @@ def make_pose_optimizer(cfg: PoseTrainConfig):
         nerf_p, cnn_p = params
         return ({"params": nerf_label(nerf_p["params"])}, jax.tree.map(lambda _: "cnn", cnn_p))
 
+    if cfg.head_weight_decay > 0:
+        # descriptor-overfitting regularizer: decay the feature head toward
+        # zero so the descriptor field stays low-frequency (see config.py)
+        head_opt = optax.adamw(learning_rate=sched(cfg.lr_mlp),
+                               weight_decay=cfg.head_weight_decay)
+    else:
+        head_opt = optax.adam(learning_rate=sched(cfg.lr_mlp))
     tx = optax.multi_transform(
         {
-            "train": optax.adam(learning_rate=sched(cfg.lr_mlp)),
+            "train": head_opt,
             "freeze": optax.set_to_zero(),
             "cnn": optax.adam(learning_rate=sched(cfg.lr_cnn)),
         },
@@ -285,7 +296,12 @@ def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
         q_map = feat_full[..., :12]
         queries = grid_sample(q_map, -sel_xys, mode="nearest")  # (B, S, 12)
 
-        # --- keys from the NeRF feature head (trainPose.py:379-394)
+        # --- keys from the NeRF feature head (trainPose.py:379-394);
+        # optional positional jitter regularizes the descriptor field's
+        # frequency over the surface (pos_noise=0 is reference parity)
+        k_noise, k_pos = jax.random.split(k_noise)
+        if cfg.pos_noise > 0:
+            sel_pos = sel_pos + jax.random.normal(k_pos, sel_pos.shape) * cfg.pos_noise
         keys = field.apply(nerf_params, sel_pos, method=field.features)
 
         # --- negatives with key noise (trainPose.py:357-376)
@@ -296,7 +312,8 @@ def make_pose_train_step(field, cnn: ResNetUNet, tx, cfg: PoseTrainConfig, aug_c
         neg = neg + jax.random.normal(k_jitter, neg.shape) * cfg.key_noise
         neg_keys = field.apply(nerf_params, neg, method=field.features)
 
-        nce = info_nce_with_neg(queries, keys, neg_keys, cfg.infonce_scale)
+        nce = info_nce_with_neg(queries, keys, neg_keys, cfg.infonce_scale,
+                                temp=cfg.infonce_temp)
         bce = optax.sigmoid_binary_cross_entropy(mask_logit, aug.mask_full).mean()
         loss = nce + bce * cfg.mask_loss_scale
         return loss, {"nce": nce, "bce": bce * cfg.mask_loss_scale}

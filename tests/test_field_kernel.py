@@ -133,37 +133,6 @@ def test_gradients_match_flax():
     assert checked >= 10  # trunk1/2, density, color1/2 kernels + biases
 
 
-def test_recompute_bwd_matches_stored_bwd_exactly():
-    """The recompute backward rebuilds h1/h2/c1 from the stored bf16
-    es/ec — identical matmul operands, so forward outputs are bit-equal
-    and gradients agree to reduction-order ulps (XLA may re-order the
-    fp32 accumulations differently in the two programs)."""
-    cfg, field, params, pts, dirs = _setup(R=6, P=9, seed=11)
-
-    def grads(recompute):
-        field_kernel._make_op.cache_clear()
-        import unittest.mock as mock
-        with mock.patch.object(field_kernel, "_RECOMPUTE", recompute):
-            def loss(p):
-                dens, rgb = field_kernel.field_color(p, pts, dirs, cfg,
-                                                     interpret=True)
-                return jnp.sum(dens * 0.3) + jnp.sum(rgb * jnp.sin(rgb))
-            g = jax.grad(loss)(params)
-        field_kernel._make_op.cache_clear()
-        return g
-
-    g_rc, g_st = grads(True), grads(False)
-    for (path, lr), (_, ls) in zip(
-        jax.tree_util.tree_leaves_with_path(g_rc),
-        jax.tree_util.tree_leaves_with_path(g_st),
-    ):
-        ls = np.asarray(ls, np.float32)
-        scale = max(float(np.abs(ls).max()), 1e-6)
-        np.testing.assert_allclose(
-            np.asarray(lr, np.float32) / scale, ls / scale, atol=1e-5,
-            err_msg=jax.tree_util.keystr(path))
-
-
 def test_no_gradient_to_points():
     cfg, field, params, pts, dirs = _setup(R=4, P=6)
 

@@ -136,3 +136,49 @@ def test_unet_bf16_groupnorm_matches_fp32():
     y16 = m16.apply(p, x)  # same params: only the GN IO dtype differs
     np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_info_nce_temperature():
+    """temp divides the logits before the softmax; temp=1 is parity."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 5, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 5, 4)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(2, 7, 4)), jnp.float32)
+    base = float(pose_trainer.info_nce_with_neg(q, k, kn))
+    same = float(pose_trainer.info_nce_with_neg(q, k, kn, temp=1.0))
+    scaled = float(pose_trainer.info_nce_with_neg(q, k, kn, temp=2.0))
+    manual = float(pose_trainer.info_nce_with_neg(q / 2.0, k, kn))
+    assert base == same
+    np.testing.assert_allclose(scaled, manual, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pose_regularizer_knobs_run(cors_setup):
+    """pos_noise / infonce_temp / head_weight_decay train steps execute and
+    produce finite, knob-dependent losses (round-5 overfitting levers)."""
+    scene, cors = cors_setup
+    bank = pose_trainer.load_ray_bank(cors, S, 6)
+    a1 = artifacts.load_array(cors, "a1.npy")
+    neg = a1[np.random.default_rng(0).permutation(a1.shape[0])[:200]]
+    field = fields.NerfField(FieldConfig(n_harmonic_functions=6, n_hidden=32))
+    nerf_params = fields.init_field(field, jax.random.PRNGKey(0))
+    cnn = ResNetUNet(widths=(16, 24, 32, 32), decoder_width=16)
+
+    def run(**kw):
+        cfg = PoseTrainConfig(batch_size=2, sample_size=64, warmup_steps=4, **kw)
+        state, _, losses = pose_trainer.train_pose(
+            field, nerf_params, scene.images, scene.sils, bank, neg,
+            cfg=cfg, n_steps=6, cnn=cnn, steps_per_call=3,
+        )
+        assert np.all(np.isfinite(losses))
+        return state, losses
+
+    _, base = run()
+    _, noisy = run(pos_noise=0.02)
+    assert base != noisy  # positive keys actually jittered
+    _, temped = run(infonce_temp=4.0)
+    assert base != temped
+    st_wd, _ = run(head_weight_decay=1e-2)
+    # weight decay applies to the feature head (still finite + trains)
+    assert np.all(np.isfinite(np.asarray(
+        jax.tree.leaves(st_wd.nerf_params["params"]["feature_layer"])[0])))
