@@ -122,6 +122,11 @@ SMALL = bool(os.environ.get("BENCH_SMALL"))
 # the train step's HBM residual traffic (~8% faster at equal losses and a
 # passing Chamfer — EXPERIMENTS.md round 3); BENCH_ACT_DTYPE=float32 reverts.
 ACT_DTYPE = os.environ.get("BENCH_ACT_DTYPE", "bfloat16")
+# harmonic-embedding evaluation for the field kernels: "grouped" = the
+# double-angle ladder (6x fewer VPU transcendentals — the round-4 kernel
+# decomposition's named residual); "direct" reverts to one sin/cos per
+# frequency (the reference's expression verbatim)
+EMBED = os.environ.get("BENCH_EMBED", "direct")
 
 _ADD_BATCH = None
 
@@ -219,7 +224,8 @@ def run_pipeline(halves, run_id: int):
 
     if SMALL:
         field = fields.NerfField(
-            FieldConfig(n_harmonic_functions=8, n_hidden=48, act_dtype=ACT_DTYPE)
+            FieldConfig(n_harmonic_functions=8, n_hidden=48, act_dtype=ACT_DTYPE,
+                        embed_method=EMBED)
         )
         render_cfg = RenderConfig(
             n_rays_per_image=min(NERF_RAYS, 192), n_pts_coarse=32, n_pts_fine=48
@@ -230,7 +236,8 @@ def run_pipeline(halves, run_id: int):
             n_subsurface=200, normals_k=48,
         )
     else:
-        field = fields.NerfField(FieldConfig(act_dtype=ACT_DTYPE))
+        field = fields.NerfField(FieldConfig(act_dtype=ACT_DTYPE,
+                                             embed_method=EMBED))
         render_cfg = RenderConfig(n_rays_per_image=NERF_RAYS)
         cors_cfg = CorsConfig(density_threshold=0.2)
 

@@ -21,6 +21,12 @@ class FieldConfig:
 
     n_harmonic_functions: int = 60          # nerf.py:107
     omega0: float = 0.1                     # nerf.py:107
+    # harmonic embedding evaluation: "direct" (one sin/cos per frequency,
+    # the reference's nerf.py:135-144 expression) or "grouped" (double-angle
+    # ladder, 6x fewer transcendentals — the train kernel's VPU pole; see
+    # models/fields.py:harmonic_embedding).  Must be consistent between
+    # training and every downstream field eval, hence a field-level config.
+    embed_method: str = "direct"
     n_hidden: int = 256                     # nerf.py:149
     feature_dim: int = 12                   # color_embedding_dims, nerf.py:149
     siren: bool = True                      # trainNerfFine.py:40

@@ -33,6 +33,16 @@ import jax.numpy as jnp
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.config import FieldConfig
 
 
+def _ladder_len(n_harmonic: int) -> int:
+    """Rungs per group for method='grouped': the largest L <= 6 dividing H
+    (L=6 at the reference H=60 -> G=10 groups; tiny test fields fall back
+    to whatever divides)."""
+    for L in (6, 5, 4, 3, 2):
+        if n_harmonic % L == 0:
+            return L
+    return 1
+
+
 def harmonic_embedding(
     x: jnp.ndarray, n_harmonic: int = 60, omega0: float = 0.1, method: str = "direct"
 ) -> jnp.ndarray:
@@ -50,6 +60,35 @@ def harmonic_embedding(
         freqs = omega0 * (2.0 ** jnp.arange(n_harmonic, dtype=x.dtype))
         ang = (x[..., None] * freqs).reshape(*x.shape[:-1], -1)
         return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if method == "grouped":
+        # Grouped double-angle ladder: transcendentals ONLY at G group-base
+        # frequencies omega0*2^(g*L), then L-1 exact doublings per group
+        # (sin 2a = 2 sin a cos a; cos 2a = 1 - 2 sin^2 a).  6x fewer
+        # sin/cos than 'direct' — they are the VPU pole of the fused train
+        # kernel (EXPERIMENTS.md round-4 decomposition: ~4 ms/step).
+        # Numerics: ladder columns agree with 'direct' to ~64 ulp at low
+        # frequencies (error doubles per rung, 2^(L-1) worst case — short
+        # enough to skip renormalization); at high frequencies BOTH methods
+        # are fp32-rounding pseudo-noise (the angle's ulp exceeds 2*pi past
+        # ~2^24), just different noise — the reference's own torch sin
+        # differs from XLA's there identically (nerf.py:107,135-144).
+        # ops/field_kernel.py implements the SAME ladder so the kernels and
+        # this path stay numerically consistent end-to-end.
+        L = _ladder_len(n_harmonic)
+        G = n_harmonic // L
+        base = omega0 * (2.0 ** (L * jnp.arange(G, dtype=x.dtype)))
+        a = x[..., None] * base                       # (..., D, G)
+        s, c = jnp.sin(a), jnp.cos(a)
+        sins, coss = [s], [c]
+        for _ in range(L - 1):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * (s * s)
+            sins.append(s)
+            coss.append(c)
+        # stack rungs minor: (..., D, G, L) -> (..., D*H) with f = g*L + l,
+        # the reference's d-major f-within ordering
+        sin_blk = jnp.stack(sins, axis=-1).reshape(*x.shape[:-1], -1)
+        cos_blk = jnp.stack(coss, axis=-1).reshape(*x.shape[:-1], -1)
+        return jnp.concatenate([sin_blk, cos_blk], axis=-1)
     a = omega0 * x
     s, c = jnp.sin(a), jnp.cos(a)
     sins, coss = [s], [c]
@@ -181,7 +220,8 @@ class NerfField(nn.Module):
         return y.astype(jnp.dtype(self.cfg.act_dtype))
 
     def embed(self, pts):
-        e = harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0)
+        e = harmonic_embedding(pts, self.cfg.n_harmonic_functions, self.cfg.omega0,
+                               method=self.cfg.embed_method)
         return e.astype(jnp.dtype(self.cfg.act_dtype))
 
     def trunk(self, embeds):

@@ -146,6 +146,72 @@ def _angles(x, fm):
             + x[:, 2:3] * fm[2:3, :])
 
 
+# -------------------------------------- grouped double-angle embedding
+# FieldConfig.embed_method="grouped": sin/cos only at G = H/L group-base
+# frequencies, then L-1 double-angle rungs per group — the transcendentals
+# are the kernel's VPU pole (~4 ms/step of the 16.8 ms pair,
+# EXPERIMENTS.md round-4 decomposition).  The kernel emits rungs
+# RUNG-MAJOR (column l*3G + d*G + g) and the wrappers permute the
+# trunk/color weight ROWS to match (a matmul is invariant under a joint
+# column/row permutation) — no in-kernel relayout.  Numerically identical
+# to models/fields.py harmonic_embedding(method="grouped") up to
+# transcendental-implementation ulps amplified <= 2^(L-1) (~1e-4, inside
+# the kernel's bf16 tolerance).
+
+
+def _ladder_of(cfg) -> int:
+    """Static rung count for a field config: 0 = direct embedding."""
+    if getattr(cfg, "embed_method", "direct") != "grouped":
+        return 0
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fields
+
+    return fields._ladder_len(int(cfg.n_harmonic_functions))
+
+
+def _freq_matrix_g(n_harmonic: int, omega0: float, ladder: int) -> np.ndarray:
+    """(3, 3G) base-frequency matrix, F[d, d*G+g] = omega0 * 2^(g*ladder) —
+    the same exact power-of-two products as _freq_matrix's columns
+    f = g*ladder."""
+    G = n_harmonic // ladder
+    freqs = omega0 * (2.0 ** (ladder * np.arange(G, dtype=np.float32)))
+    F = np.zeros((3, 3 * G), np.float32)
+    for d in range(3):
+        F[d, d * G : (d + 1) * G] = freqs
+    return F
+
+
+def _ladder_perm(n_harmonic: int, ladder: int) -> np.ndarray:
+    """Row permutation mapping the kernel's rung-major embedding layout to
+    the flax d-major f-within weight rows: perm[l*3G + d*G + g] =
+    d*H + g*L + l, applied to each 3H-row half (sin / cos) separately."""
+    G = n_harmonic // ladder
+    perm = np.empty(3 * n_harmonic, np.int64)
+    for l in range(ladder):
+        for d in range(3):
+            for g in range(G):
+                perm[l * 3 * G + d * G + g] = d * n_harmonic + g * ladder + l
+    return perm
+
+
+def _embed(x, fm, ladder: int):
+    """(sin, cos) embedding blocks (N, 3H) f32 for points (N, 3).
+
+    ladder=0: direct (fm = full (3, 3H) frequency matrix, flax layout).
+    ladder=L: grouped ladder (fm = (3, 3G) base matrix, rung-major
+    output; drift <= 2^(L-1) ulp per rung chain — short enough to skip
+    renormalization)."""
+    ang = _angles(x, fm)
+    s, c = _sincos(ang)
+    if ladder <= 1:
+        return s, c
+    sins, coss = [s], [c]
+    for _ in range(ladder - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * (s * s)
+        sins.append(s)
+        coss.append(c)
+    return jnp.concatenate(sins, -1), jnp.concatenate(coss, -1)
+
+
 # ---- probe-only knobs (experiments/kernel_decomp_probe.py): replace the
 # transcendentals with cheap stand-ins of the same shape/dtype to measure
 # their share of the kernel's runtime.  NOT valid numerics — never set in
@@ -183,15 +249,14 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
                 w2_ref, b2_ref, wd_ref, bd_ref, wc1h_ref, wc1ds_ref,
                 wc1dc_ref, bc1_ref, wc2_ref, bc2_ref,
                 dens_ref, rgb_ref, h1_ref, h2_ref, c1_ref, es_ref, ec_ref,
-                *, beta):
+                *, beta, ladder=0):
     Rt, P, _ = pts_ref.shape
     N = Rt * P
     bf = jnp.bfloat16
     f32 = jnp.float32
 
     x = pts_ref[:].reshape(N, 3)
-    ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
-    _s, _c = _sincos(ang)
+    _s, _c = _embed(x, fmat_ref[:], ladder)                         # (N, 3H)
     es = _s.astype(bf)
     ec = _c.astype(bf)
     es_ref[:] = es.reshape(Rt, P, -1)
@@ -219,9 +284,9 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
     # with the exact flax expression — an ulp-level divide difference
     # (Mosaic's reciprocal-based divide) is amplified by the top
     # harmonic frequency (0.1*2^59) into a completely different phase
-    angd = _angles(dirs_ref[:].reshape(Rt, 3), fmat_ref[:])         # (Rt, 3H)
-    dsb = jnp.sin(angd).astype(bf)
-    dcb = jnp.cos(angd).astype(bf)
+    _ds, _dc = _embed(dirs_ref[:].reshape(Rt, 3), fmat_ref[:], ladder)
+    dsb = _ds.astype(bf)
+    dcb = _dc.astype(bf)
     dpart = (mm(dsb, wc1ds_ref[:].astype(bf)) + mm(dcb, wc1dc_ref[:].astype(bf))
              + bc1_ref[:])                                          # (Rt, C)
     c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
@@ -237,7 +302,7 @@ def _fwd_kernel(pts_ref, dirs_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref,
 
 
 def _dens_kernel(pts_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
-                 b2_ref, wd_ref, bd_ref, dens_ref, *, beta):
+                 b2_ref, wd_ref, bd_ref, dens_ref, *, beta, ladder=0):
     """embed -> trunk -> density head for a flat tile of points.
 
     The inference-time density evaluator: no residuals, no color head —
@@ -248,8 +313,7 @@ def _dens_kernel(pts_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
     bf = jnp.bfloat16
     f32 = jnp.float32
 
-    ang = _angles(pts_ref[:], fmat_ref[:])
-    _s, _c = _sincos(ang)
+    _s, _c = _embed(pts_ref[:], fmat_ref[:], ladder)
     es = _s.astype(bf)
     ec = _c.astype(bf)
 
@@ -265,8 +329,10 @@ def _dens_kernel(pts_ref, fmat_ref, w1s_ref, w1c_ref, b1_ref, w2_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_dens_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
-    fmat = _freq_matrix(n_harmonic, omega0)
+def _make_dens_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
+                  ladder: int = 0):
+    fmat = (_freq_matrix_g(n_harmonic, omega0, ladder) if ladder
+            else _freq_matrix(n_harmonic, omega0))
     tile = int(_os.environ.get("FIELD_DENSITY_TILE", "4096"))
 
     def run(weights, flat_pts):
@@ -278,7 +344,7 @@ def _make_dens_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
             flat_pts = jnp.pad(flat_pts, ((0, pad), (0, 0)))
         full = lambda i: (0, 0)
         dens = pl.pallas_call(
-            functools.partial(_dens_kernel, beta=beta),
+            functools.partial(_dens_kernel, beta=beta, ladder=ladder),
             grid=((n + pad) // t,),
             in_specs=[
                 pl.BlockSpec((t, 3), lambda i: (i, 0)),
@@ -306,16 +372,21 @@ def field_density(params, pts, cfg, interpret: bool | None = None):
     raises, by design."""
     pr = params["params"]
     H = cfg.n_harmonic_functions
+    ladder = _ladder_of(cfg)
     w1 = pr["trunk1"]["kernel"]
+    w1s, w1c = w1[: 3 * H], w1[3 * H :]
+    if ladder:
+        perm = _ladder_perm(H, ladder)
+        w1s, w1c = w1s[perm], w1c[perm]
     weights = (
-        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
+        w1s, w1c, pr["trunk1"]["bias"][None, :],
         pr["trunk2"]["kernel"], pr["trunk2"]["bias"][None, :],
         pr["density_layer"]["kernel"], pr["density_layer"]["bias"][None, :],
     )
     if interpret is None:
         interpret = _interpret_default()
     run = _make_dens_op(float(cfg.softplus_beta), int(H), float(cfg.omega0),
-                        bool(interpret))
+                        bool(interpret), ladder)
     lead = pts.shape[:-1]
     flat = jax.lax.stop_gradient(pts).reshape(-1, 3)
     return run(weights, flat).reshape(*lead, 1)
@@ -350,7 +421,7 @@ def _grad_math(Rt, P, dirs_flat, fmat, w2_ref, wd_ref, wc1h_ref, wc2_ref,
                h1b, h2b, c1b, es, ec, rgb, du, grgb,
                dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
                dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
-               dwc2_ref, dbc2_ref, beta):
+               dwc2_ref, dbc2_ref, beta, ladder=0):
     """Shared per-tile gradient accumulation.
 
     Values (h1b/h2b/c1b/es/ec bf16 (N, ·); rgb/du/grgb f32) are
@@ -382,9 +453,9 @@ def _grad_math(Rt, P, dirs_flat, fmat, w2_ref, wd_ref, wc1h_ref, wc2_ref,
 
     # per-ray direction-part gradients (recompute the tiny dir embedding)
     ddpart = jnp.sum(dc1p.reshape(Rt, P, -1), 1)                   # (Rt, C)
-    angd = _angles(dirs_flat, fmat)                      # pre-normalized
-    dwc1ds_ref[:] += c_pt(jnp.sin(angd).astype(bf), ddpart.astype(bf))
-    dwc1dc_ref[:] += c_pt(jnp.cos(angd).astype(bf), ddpart.astype(bf))
+    _ds, _dc = _embed(dirs_flat, fmat, ladder)           # pre-normalized
+    dwc1ds_ref[:] += c_pt(_ds.astype(bf), ddpart.astype(bf))
+    dwc1dc_ref[:] += c_pt(_dc.astype(bf), ddpart.astype(bf))
 
     dh2 = c_feat(dc1pb, wc1h_ref[:].astype(bf))                    # (N, C)
 
@@ -413,7 +484,7 @@ def _bwd_kernel(pts_ref, dirs_ref, fmat_ref, w2_ref, wd_ref, wc1h_ref,
                 dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref,
                 dbd_ref, dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref,
                 dwc2_ref, dbc2_ref,
-                *, beta):
+                *, beta, ladder=0):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -436,21 +507,26 @@ def _bwd_kernel(pts_ref, dirs_ref, fmat_ref, w2_ref, wd_ref, wc1h_ref,
         rgb_ref[:].reshape(N, 3), du, grgb_ref[:].reshape(N, 3),
         dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
-        beta)
+        beta, ladder=ladder)
 
 
 # ------------------------------------------------------------- wrapper
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
+def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool,
+             ladder: int = 0):
     """Builds the custom-VJP'd op (weights..., pts, dirs) -> (dens, rgb).
 
     weights: w1s, w1c (3H, C) f32; b1, b2, bc1 (1, C) f32; w2, wc1h (C, C);
     wd (C, 1); bd (1, 1); wc1ds, wc1dc (3H, C); wc2 (C, 3); bc2 (1, 3).
     pts (R, P, 3) f32, dirs (R, 3) f32.  No gradient flows to pts/dirs.
+    ``ladder``>0: grouped embedding — embedding-row weights arrive
+    PRE-PERMUTED to the rung-major layout (see _ladder_perm); the caller's
+    gather is what autodiff reverses, so grads flow back unpermuted.
     """
-    fmat = _freq_matrix(n_harmonic, omega0)
+    fmat = (_freq_matrix_g(n_harmonic, omega0, ladder) if ladder
+            else _freq_matrix(n_harmonic, omega0))
 
     def _grids(R, P):
         # raw _TILE_PTS on purpose: the per-pass _tile_pts(P) heuristic was
@@ -509,7 +585,7 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
             jax.ShapeDtypeStruct((Rp, P, H3), jnp.bfloat16),
         ]
         outs = pl.pallas_call(
-            functools.partial(_fwd_kernel, beta=beta),
+            functools.partial(_fwd_kernel, beta=beta, ladder=ladder),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((rt, P, 3), row3),        # pts
@@ -565,7 +641,7 @@ def _make_op(beta: float, n_harmonic: int, omega0: float, interpret: bool):
         dirs_g = dirs_p.reshape(n_tiles, rt, 3)  # see fwd_call comment
         out_specs, out_shape = _grad_specs(C, H3)
         grads = pl.pallas_call(
-            functools.partial(_bwd_kernel, beta=beta),
+            functools.partial(_bwd_kernel, beta=beta, ladder=ladder),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((rt, P, 3), row3),        # pts
@@ -605,26 +681,11 @@ def field_color(params, pts, dirs, cfg, interpret: bool | None = None):
     Differentiable wrt ``params`` only — pts/dirs are stop_gradient'd
     (ray geometry carries no parameter dependence in the train step).
     """
-    pr = params["params"]
-    H = cfg.n_harmonic_functions
-    w1 = pr["trunk1"]["kernel"]
-    w2 = pr["trunk2"]["kernel"]
-    wd = pr["density_layer"]["kernel"]
-    wc1 = pr["color1"]["kernel"]
-    wc2 = pr["color2"]["kernel"]
-    nh = w2.shape[0]
-    weights = (
-        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
-        w2, pr["trunk2"]["bias"][None, :],
-        wd, pr["density_layer"]["bias"][None, :],
-        wc1[:nh], wc1[nh : nh + 3 * H], wc1[nh + 3 * H :],
-        pr["color1"]["bias"][None, :],
-        wc2, pr["color2"]["bias"][None, :],
-    )
+    weights = _split_weights(params, cfg)
     if interpret is None:
         interpret = _interpret_default()
-    op = _make_op(float(cfg.softplus_beta), int(H), float(cfg.omega0),
-                  bool(interpret))
+    op = _make_op(float(cfg.softplus_beta), int(cfg.n_harmonic_functions),
+                  float(cfg.omega0), bool(interpret), _ladder_of(cfg))
     # normalize in XLA with the EXACT flax expression (models/fields.py
     # color()): in-kernel division rounds differently at ulp level, and
     # the top harmonic frequency amplifies an ulp into an O(1) phase shift
@@ -640,7 +701,7 @@ def field_color(params, pts, dirs, cfg, interpret: bool | None = None):
 def _loss_kernel(pts_ref, dirs_ref, tgt_ref, fmat_ref, w1s_ref, w1c_ref,
                  b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, wc1h_ref, wc1ds_ref,
                  wc1dc_ref, bc1_ref, wc2_ref, bc2_ref, *refs,
-                 beta, hs, scale, want_weights):
+                 beta, hs, scale, want_weights, ladder=0):
     """Field fwd + EA composite + huber loss + full backward, one launch.
 
     Per ray tile: evaluate the field (exactly _fwd_kernel's math), composite
@@ -693,8 +754,7 @@ def _loss_kernel(pts_ref, dirs_ref, tgt_ref, fmat_ref, w1s_ref, w1c_ref,
 
     # ---- forward (same math as _fwd_kernel; everything stays live) ----
     x = pts_ref[:].reshape(N, 3)
-    ang = _angles(x, fmat_ref[:])                                   # (N, 3H)
-    _s, _c = _sincos(ang)
+    _s, _c = _embed(x, fmat_ref[:], ladder)                         # (N, 3H)
     es = _s.astype(bf)
     ec = _c.astype(bf)
     h1 = _softplus_b(mm(es, w1s_ref[:].astype(bf)) + mm(ec, w1c_ref[:].astype(bf))
@@ -705,9 +765,9 @@ def _loss_kernel(pts_ref, dirs_ref, tgt_ref, fmat_ref, w1s_ref, w1c_ref,
     raw = _softplus_b(jnp.dot(h2, wd_ref[:], preferred_element_type=f32)
                       + bd_ref[:], beta)                            # (N, 1)
     dirs_flat = dirs_ref[:].reshape(Rt, 3)
-    angd = _angles(dirs_flat, fmat_ref[:])
-    dpart = (mm(jnp.sin(angd).astype(bf), wc1ds_ref[:].astype(bf))
-             + mm(jnp.cos(angd).astype(bf), wc1dc_ref[:].astype(bf))
+    _ds, _dc = _embed(dirs_flat, fmat_ref[:], ladder)
+    dpart = (mm(_ds.astype(bf), wc1ds_ref[:].astype(bf))
+             + mm(_dc.astype(bf), wc1dc_ref[:].astype(bf))
              + bc1_ref[:])                                          # (Rt, C)
     c1 = _softplus_b(mm(h2b, wc1h_ref[:].astype(bf)).reshape(Rt, P, -1)
                      + dpart[:, None, :], beta)
@@ -769,17 +829,18 @@ def _loss_kernel(pts_ref, dirs_ref, tgt_ref, fmat_ref, w1s_ref, w1c_ref,
         h1b, h2b, c1b, es, ec, rgb, du, grgb,
         dw1s_ref, dw1c_ref, db1_ref, dw2_ref, db2_ref, dwd_ref, dbd_ref,
         dwc1h_ref, dwc1ds_ref, dwc1dc_ref, dbc1_ref, dwc2_ref, dbc2_ref,
-        beta)
+        beta, ladder=ladder)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
                   interpret: bool, hs: float, scale: float,
-                  want_weights: bool):
+                  want_weights: bool, ladder: int = 0):
     """(weights..., pts, dirs, tgt) -> (13 grads, loss (1, 8)[, w (R, P)]).
 
     Forward-only (grads ARE outputs) — never wrapped in jax.grad."""
-    fmat = _freq_matrix(n_harmonic, omega0)
+    fmat = (_freq_matrix_g(n_harmonic, omega0, ladder) if ladder
+            else _freq_matrix(n_harmonic, omega0))
 
     def run(weights, pts, dirs, tgt):
         (w1s, w1c, b1, w2, b2, wd, bd, wc1h, wc1ds, wc1dc, bc1, wc2,
@@ -820,7 +881,7 @@ def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
 
         outs = pl.pallas_call(
             functools.partial(_loss_kernel, beta=beta, hs=hs, scale=scale,
-                              want_weights=want_weights),
+                              want_weights=want_weights, ladder=ladder),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((rt, P, 3), row3),        # pts
@@ -849,20 +910,32 @@ def _make_loss_op(beta: float, n_harmonic: int, omega0: float,
 
 
 def _split_weights(params, cfg):
-    """Slice the flax param dict into the kernel's 13 weight blocks."""
+    """Slice the flax param dict into the kernel's 13 weight blocks.
+
+    With embed_method="grouped" the four embedding-row blocks (w1s, w1c,
+    wc1ds, wc1dc) are gather-permuted to the kernel's rung-major layout —
+    on autodiff paths (field_color) the gather's VJP un-permutes the
+    grads; the explicit-grads loss op un-permutes in bundle_loss_grads."""
     pr = params["params"]
     H = cfg.n_harmonic_functions
+    ladder = _ladder_of(cfg)
     w1 = pr["trunk1"]["kernel"]
     w2 = pr["trunk2"]["kernel"]
     wd = pr["density_layer"]["kernel"]
     wc1 = pr["color1"]["kernel"]
     wc2 = pr["color2"]["kernel"]
     nh = w2.shape[0]
+    w1s, w1c = w1[: 3 * H], w1[3 * H :]
+    wc1ds, wc1dc = wc1[nh : nh + 3 * H], wc1[nh + 3 * H :]
+    if ladder:
+        perm = _ladder_perm(H, ladder)
+        w1s, w1c = w1s[perm], w1c[perm]
+        wc1ds, wc1dc = wc1ds[perm], wc1dc[perm]
     return (
-        w1[: 3 * H], w1[3 * H :], pr["trunk1"]["bias"][None, :],
+        w1s, w1c, pr["trunk1"]["bias"][None, :],
         w2, pr["trunk2"]["bias"][None, :],
         wd, pr["density_layer"]["bias"][None, :],
-        wc1[:nh], wc1[nh : nh + 3 * H], wc1[nh + 3 * H :],
+        wc1[:nh], wc1ds, wc1dc,
         pr["color1"]["bias"][None, :],
         wc2, pr["color2"]["bias"][None, :],
     )
@@ -904,10 +977,11 @@ def bundle_loss_grads(params, pts, dirs, col, sil, valid, cfg, *,
     """
     if interpret is None:
         interpret = _interpret_default()
+    ladder = _ladder_of(cfg)
     run = _make_loss_op(float(cfg.softplus_beta),
                         int(cfg.n_harmonic_functions), float(cfg.omega0),
                         bool(interpret), float(huber_scaling), float(scale),
-                        bool(want_weights))
+                        bool(want_weights), ladder)
     dn = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     tgt = jnp.concatenate(
         [col, sil, valid, jnp.zeros((pts.shape[0], 3), col.dtype)], axis=-1
@@ -915,4 +989,11 @@ def bundle_loss_grads(params, pts, dirs, col, sil, valid, cfg, *,
     grads, loss, wts = run(
         _split_weights(params, cfg), jax.lax.stop_gradient(pts),
         jax.lax.stop_gradient(dn), jax.lax.stop_gradient(tgt))
+    if ladder:
+        # explicit grad outputs are in the kernel's rung-major row layout;
+        # map the four embedding-row blocks back to flax rows
+        inv = np.argsort(_ladder_perm(int(cfg.n_harmonic_functions), ladder))
+        g = list(grads)
+        g[0], g[1], g[8], g[9] = g[0][inv], g[1][inv], g[8][inv], g[9][inv]
+        grads = tuple(g)
     return _grads_to_tree(params, grads), (loss[0, 0], loss[0, 1]), wts

@@ -10,9 +10,9 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models import fiel
 from imagesequenceregistrationfor6dposeestimationlabeling_tpu.ops import field_kernel
 
 
-def _setup(n_harmonic=8, n_hidden=32, R=7, P=5, seed=0):
+def _setup(n_harmonic=8, n_hidden=32, R=7, P=5, seed=0, embed="direct"):
     cfg = FieldConfig(n_harmonic_functions=n_harmonic, n_hidden=n_hidden,
-                      act_dtype="bfloat16")
+                      act_dtype="bfloat16", embed_method=embed)
     field = fields.NerfField(cfg)
     params = fields.init_field(field, jax.random.PRNGKey(seed))
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
@@ -292,8 +292,8 @@ def _ref_bundle(field, cfg, hs, scale):
     return loss
 
 
-def _bundle_setup(R=6, P=9, seed=3):
-    cfg, field, params, pts, dirs = _setup(R=R, P=P, seed=seed)
+def _bundle_setup(R=6, P=9, seed=3, embed="direct"):
+    cfg, field, params, pts, dirs = _setup(R=R, P=P, seed=seed, embed=embed)
     k = jax.random.PRNGKey(seed + 17)
     k1, k2 = jax.random.split(k)
     col = jax.random.uniform(k1, (R, 3))
@@ -391,3 +391,77 @@ def test_bundle_loss_vmapped_over_halves():
             np.testing.assert_allclose(
                 np.asarray(lk, np.float32), np.asarray(lr, np.float32),
                 atol=1e-4, err_msg=f"half {h} {jax.tree_util.keystr(path)}")
+
+
+# --------------------------------------- grouped double-angle embedding
+
+
+def test_grouped_forward_matches_flax():
+    """embed_method='grouped': the kernel's rung-major ladder + permuted
+    weight rows must reproduce the flax grouped path (H=8 -> L=4, G=2)."""
+    cfg, field, params, pts, dirs = _setup(embed="grouped")
+    dens_k, rgb_k = field_kernel.field_color(params, pts, dirs, cfg,
+                                             interpret=True)
+    dens_f, rgb_f = field.apply(params, pts, dirs, "color")
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_f),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_grouped_density_matches_flax():
+    cfg, field, params, pts, _ = _setup(embed="grouped")
+    dens_k = field_kernel.field_density(params, pts, cfg, interpret=True)
+    dens_f = field.apply(params, pts, method=field.density)
+    np.testing.assert_allclose(np.asarray(dens_k), np.asarray(dens_f),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_grouped_gradients_match_flax():
+    """The weight-row gather in _split_weights must round-trip grads on the
+    custom-VJP path (autodiff scatters them back to flax row order)."""
+    cfg, field, params, pts, dirs = _setup(R=6, P=9, seed=3, embed="grouped")
+
+    def loss_k(p):
+        return _loss_weights(
+            lambda p, x, d: field_kernel.field_color(p, x, d, cfg,
+                                                     interpret=True),
+            p, pts, dirs)
+
+    def loss_f(p):
+        return _loss_weights(
+            lambda p, x, d: field.apply(p, x, d, "color"), p, pts, dirs)
+
+    vk, gk = jax.value_and_grad(loss_k)(params)
+    vf, gf = jax.value_and_grad(loss_f)(params)
+    assert np.allclose(float(vk), float(vf), atol=2e-2, rtol=2e-2)
+    _assert_grads_close(gk, gf)
+
+
+def test_grouped_bundle_loss_matches_flax():
+    """Fused loss kernel under the grouped embedding: losses, weights and
+    the explicitly un-permuted grad rows must match the flax reference."""
+    hs, scale = 0.1, 500.0 / 6
+    cfg, field, params, pts, dirs, col, sil, valid = _bundle_setup(
+        embed="grouped")
+    gk, (ce_k, se_k), w_k = field_kernel.bundle_loss_grads(
+        params, pts, dirs, col, sil, valid, cfg, huber_scaling=hs,
+        scale=scale, want_weights=True, interpret=True)
+    ref = _ref_bundle(field, cfg, hs, scale)
+    (_, (w_f, ce_f, se_f)), gf = jax.value_and_grad(ref, has_aux=True)(
+        params, pts, dirs, col, sil, valid)
+    np.testing.assert_allclose(float(ce_k), float(ce_f), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(float(se_k), float(se_f), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_f),
+                               atol=2e-2, rtol=2e-2)
+    _assert_grads_close(gk, gf)
+
+
+def test_ladder_perm_is_a_permutation():
+    perm = field_kernel._ladder_perm(60, 6)
+    assert sorted(perm.tolist()) == list(range(180))
+    # base rungs (l=0) map to the direct columns f = g*L
+    G = 10
+    for d in range(3):
+        for g in range(G):
+            assert perm[d * G + g] == d * 60 + g * 6

@@ -117,3 +117,37 @@ def test_freeze_spec_covers_all_field_modules():
         fields.freeze_spec(train_feature_head=True)(params)
     )
     assert "train" in labels.values() and "freeze" in labels.values()
+
+
+def test_grouped_embedding_matches_direct_at_low_freqs():
+    """method='grouped' must agree with 'direct' wherever fp32 angles are
+    still exact: group-base columns (f = g*L) bit-match, and within the
+    first groups (small f) the ladder agrees to ~2^(L-1) ulp."""
+    import numpy as np
+
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.models.fields import (
+        _ladder_len, harmonic_embedding,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 3))
+    H = 60
+    L = _ladder_len(H)
+    assert L == 6
+    e_d = np.asarray(harmonic_embedding(x, H, 0.1, method="direct"))
+    e_g = np.asarray(harmonic_embedding(x, H, 0.1, method="grouped"))
+    assert e_d.shape == e_g.shape == (64, 6 * H)
+    # base rungs: identical angle products -> identical sin/cos
+    for blk in (0, 3 * H):  # sin block, cos block
+        for d in range(3):
+            for g in range(H // L):
+                col = blk + d * H + g * L
+                np.testing.assert_array_equal(e_g[:, col], e_d[:, col])
+    # low-frequency groups (f < 18): ladder drift is bounded by ~2^(L-1) ulp
+    for d in range(3):
+        lo = [d * H + f for f in range(18)]
+        np.testing.assert_allclose(e_g[:, lo], e_d[:, lo], atol=2e-5)
+        np.testing.assert_allclose(e_g[:, [3 * H + c for c in lo]],
+                                   e_d[:, [3 * H + c for c in lo]], atol=2e-5)
+    # unit circle preserved everywhere (sin^2+cos^2 ~ 1 even at the top)
+    s, c = e_g[:, : 3 * H], e_g[:, 3 * H :]
+    np.testing.assert_allclose(s * s + c * c, 1.0, atol=1e-3)
