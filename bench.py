@@ -291,12 +291,26 @@ def run_pipeline(halves, run_id: int):
     t_neg = time.perf_counter()
     _phase("neg_s", t_cors, t_neg)
 
-    # --- descriptor training on half 0 (CNN queries vs feature-head keys)
+    # --- descriptor training on half 0 (CNN queries vs feature-head keys).
+    # Augmentation at the round-5 quality recipe: geometric jitter x2 +
+    # distractor pastes (the 1280v sweep's winner — control 32/64 vs
+    # boosted 64/64 strict; QUALITY_r05).  Same wall cost (on-device aug,
+    # same shapes); BENCH_AUG_BOOST/BENCH_P_DISTRACTOR revert.
+    from imagesequenceregistrationfor6dposeestimationlabeling_tpu.train import (
+        augment as aug_lib,
+    )
+
+    aug_boost = float(os.environ.get("BENCH_AUG_BOOST", "2"))
+    bench_aug = aug_lib.AugmentConfig(
+        crop_res=IMG, min_mask_sum=10.0,
+        p_distractor=float(os.environ.get("BENCH_P_DISTRACTOR", "0.5")),
+        scale_jitter=0.075 * aug_boost, trans_frac=0.1 * aug_boost,
+    )
     bank = pose_trainer.load_ray_bank(cors_dirs[0], IMG, N_VIEWS)
     cnn = ResNetUNet()
     pstate, cnn, plosses = pose_trainer.train_pose(
         field, states[0].params_fine, scene0.images, scene0.sils, bank, neg,
-        cfg=pose_cfg, n_steps=POSE_STEPS, cnn=cnn,
+        cfg=pose_cfg, aug_cfg=bench_aug, n_steps=POSE_STEPS, cnn=cnn,
         steps_per_call=min(50, POSE_STEPS),
     )
     t_pose = time.perf_counter()

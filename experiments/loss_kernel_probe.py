@@ -45,14 +45,17 @@ def timed(fn, *args, iters=ITERS):
 
 
 def main():
-    cfg = FieldConfig(act_dtype="bfloat16")
+    # PROBE_EMBED=grouped measures the round-5 double-angle ladder
+    # (EXPERIMENTS.md "Grouped double-angle harmonic embedding")
+    cfg = FieldConfig(act_dtype="bfloat16",
+                      embed_method=os.environ.get("PROBE_EMBED", "direct"))
     field = fields.NerfField(cfg)
     params = jax.tree.map(
         lambda *x: jnp.stack(x),
         *[fields.init_field(field, jax.random.PRNGKey(h)) for h in range(H)],
     )
     key = jax.random.PRNGKey(0)
-    print(f"tile={field_kernel._TILE_PTS}")
+    print(f"tile={field_kernel._TILE_PTS} embed={cfg.embed_method}")
 
     for name, P, want_w in (("fine", 320, False), ("coarse", 64, True)):
         pts = jax.random.uniform(key, (H, RAYS, P, 3), minval=-1.0, maxval=1.0)
