@@ -346,9 +346,19 @@ def generate_cors(
         # blocks also bound HBM for the fetched result.  Runs with
         # <= view_block views (the bench) keep their exact single-program
         # shape and compile cache.
+        #
+        # Pipelining (VERDICT r4 next #5): ALL block programs are
+        # dispatched up-front (JAX async dispatch keeps the device busy
+        # back-to-back; each block stays a watchdog-sized program), then
+        # fetched in order while a small thread pool writes the per-view
+        # artifacts — host np.save I/O overlaps device render of the
+        # later blocks instead of serializing after each fetch.
+        from concurrent.futures import ThreadPoolExecutor
+
         view_block = int(os.environ.get("CORS_VIEW_BLOCK", "128"))
         sels = np.stack([view_sel(i)[0] for i in pending])
         vals = np.stack([view_sel(i)[1] for i in pending])
+        dispatched = []
         for b0 in range(0, n_views, view_block):
             blk = list(range(b0, min(b0 + view_block, n_views)))
             real = len(blk)
@@ -365,12 +375,18 @@ def generate_cors(
                 jnp.asarray(sels[np.asarray(blk)]), jnp.asarray(vals[np.asarray(blk)]),
                 *hit_args, mesh=mesh,
             )
-            _mark("views_render_dispatch")
-            out = jax.device_get(res)
+            dispatched.append((blk, real, res))
+        _mark("views_render_dispatch")
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = []
+            for blk, real, res in dispatched:
+                out = jax.device_get(res)
+                futs.extend(pool.submit(save_view, i, out, v)
+                            for v, i in enumerate(blk[:real]))
             _mark("views_fetch")
-            for v, i in enumerate(blk[:real]):
-                save_view(i, out, v)
-            _mark("views_save")
+            for f in futs:
+                f.result()  # surface write errors
+        _mark("views_save")
     else:
         # partial resume: per-view programs for just the missing views
         # (idempotent skip, generateCors.py:277-278)
