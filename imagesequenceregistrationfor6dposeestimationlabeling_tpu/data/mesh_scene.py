@@ -144,29 +144,53 @@ def make_mesh_scene(
         ),
         (n_views, 3, 3),
     ).copy()
-    cams = cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
+    cams = jax.device_get(
+        cam_lib.camera_from_bop(jnp.asarray(R_bop), jnp.asarray(t_bop), jnp.asarray(K), S)
+    )
 
     v_j = jnp.asarray(verts)
     f_j = jnp.asarray(faces)
     c_j = jnp.asarray(colors)
     n_j = jnp.asarray(normals)
+    albedo_fn = procedural_albedo if textured else None
 
+    # ALL views of a group render inside ONE jitted program (lax.map over
+    # the view axis).  A per-view Python loop costs ~6 eager dispatches per
+    # view (camera-bank slicing + the render call) at ~40-90 ms relay
+    # round-trip each — tens of minutes at 1280 views, hours when the
+    # relay throttles.  Camera slicing stays host-side numpy; groups bound
+    # the fetched result and reuse one compiled shape.
+    @jax.jit
+    def render_group(Rg, Tg, fg, pg):
+        def one(args):
+            R1, T1, f1, p1 = args
+            return rasterize.render_mesh(
+                v_j, f_j, c_j, n_j, cam_lib.Camera(R1, T1, f1, p1, S), S,
+                albedo_fn=albedo_fn,
+            )
+        return jax.lax.map(one, (Rg, Tg, fg, pg))
+
+    group = min(32, n_views)
     imgs, sils, depths = [], [], []
-    for i in range(n_views):
-        cam_i = cam_lib.Camera(cams.R[i], cams.T[i], cams.focal[i], cams.principal[i], S)
-        rgb, sil, depth = rasterize.render_mesh(
-            v_j, f_j, c_j, n_j, cam_i, S,
-            albedo_fn=procedural_albedo if textured else None,
-        )
-        imgs.append(rgb)
-        sils.append(sil)
-        depths.append(depth)
-    imgs, sils, depths = jax.device_get((imgs, sils, depths))
+    for b0 in range(0, n_views, group):
+        sel = np.arange(b0, min(b0 + group, n_views))
+        if len(sel) < group:  # pad the tail to the compiled shape
+            sel = np.concatenate([sel, np.repeat(sel[-1:], group - len(sel))])
+        rgb, sil, depth = jax.device_get(render_group(
+            cams.R[sel], cams.T[sel], cams.focal[sel], cams.principal[sel]
+        ))
+        real = min(b0 + group, n_views) - b0
+        imgs.append(rgb[:real])
+        sils.append(sil[:real])
+        depths.append(depth[:real])
+    imgs = np.concatenate(imgs)
+    sils = np.concatenate(sils)
+    depths = np.concatenate(depths)
 
     diffs = verts.max(0) - verts.min(0)
     diameter = float(np.linalg.norm(diffs))
     return MeshScene(
-        np.stack(imgs), np.stack(sils), np.stack(depths),
+        imgs, sils, depths,
         np.asarray(R_bop), np.asarray(t_bop), K,
         verts, faces, diameter,
     )
