@@ -98,8 +98,16 @@ def ndc_directions(cam: Camera, xys_ndc: jnp.ndarray) -> jnp.ndarray:
     S = cam.image_size
     f_ndc = 2.0 * cam.focal / S
     p_ndc = 1.0 - 2.0 * cam.principal / S
-    d_xy = (xys_ndc - p_ndc[..., None, :]) / f_ndc[..., None, :]
-    d_cam = jnp.concatenate([d_xy, jnp.ones_like(d_xy[..., :1])], axis=-1)
+    # component-wise on purpose: the vectorized form
+    # ``(xys - p_ndc[..., None, :]) / f_ndc[..., None, :]`` miscompiles on
+    # the TPU backend when the camera math is fused into a larger program —
+    # the (..., 1, 2) -> (..., N, 2) lane-2 broadcast reads one lane as
+    # garbage and a whole direction component comes back inf (reproduced
+    # on v5e/axon, EXPERIMENTS.md round 5 "entry NaN").  Per-component
+    # (..., 1) broadcasts lower cleanly and are fp-identical ops.
+    dx = (xys_ndc[..., 0] - p_ndc[..., 0:1]) / f_ndc[..., 0:1]
+    dy = (xys_ndc[..., 1] - p_ndc[..., 1:2]) / f_ndc[..., 1:2]
+    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
     # world dir: x_cam = x_world @ R  =>  x_world = x_cam @ R^T ... but for
     # directions (no translation):  d_world = d_cam @ R^T.
     return jnp.einsum("...nj,...ij->...ni", d_cam, cam.R, precision=jax.lax.Precision.HIGHEST)
@@ -112,8 +120,11 @@ def project_points(cam: Camera, pts_world: jnp.ndarray):
     S = cam.image_size
     f_ndc = 2.0 * cam.focal / S
     p_ndc = 1.0 - 2.0 * cam.principal / S
-    xy = f_ndc[..., None, :] * x_cam[..., 0:2] / z[..., None] + p_ndc[..., None, :]
-    return xy, z
+    # component-wise for the same TPU lane-2 broadcast hazard as
+    # ndc_directions above
+    x = f_ndc[..., 0:1] * x_cam[..., 0] / z + p_ndc[..., 0:1]
+    y = f_ndc[..., 1:2] * x_cam[..., 1] / z + p_ndc[..., 1:2]
+    return jnp.stack([x, y], axis=-1), z
 
 
 def grid_rays(cam: Camera, image_size: int, n_pts: int, min_depth, max_depth) -> RayBundle:
