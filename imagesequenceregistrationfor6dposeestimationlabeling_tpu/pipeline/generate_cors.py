@@ -39,9 +39,24 @@ from imagesequenceregistrationfor6dposeestimationlabeling_tpu.render import raym
 def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     """Steps: density grid -> marching tetrahedra -> radius-outlier removal
     -> FPS-1000 + normals.  Returns (mverts, subverts, subnormals)."""
+    import time as _time
+
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        # CORS_TIMING=1 sub-stage prints (this function is the cors phase
+        # pole after the round-5 view-block pipelining: 0.7-1.0 s/half at
+        # bench scale, EXPERIMENTS.md round 5)
+        if os.environ.get("CORS_TIMING"):
+            now = _time.perf_counter()
+            print(f"    surface[{name}]: {now - _t[0]:.3f} s")
+            _t[0] = now
 
     grid = renderer.density_grid_cached(field, params, grid_res=grid_res)
-    verts_idx, _tris = mcubes.marching_tetrahedra(np.asarray(grid), cfg.density_threshold)
+    grid = np.asarray(grid)
+    _mark("density_grid")
+    verts_idx, _tris = mcubes.marching_tetrahedra(grid, cfg.density_threshold)
+    _mark("march_tets")
     if verts_idx.shape[0] < 10:
         raise RuntimeError(
             f"surface extraction found {verts_idx.shape[0]} vertices at density "
@@ -50,8 +65,9 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
         )
     mverts = mcubes.index_to_world(verts_idx, grid_res, exact=True)
     mverts_j = jnp.asarray(mverts, jnp.float32)
-    keep = pc.radius_outlier_mask(mverts_j, cfg.outlier_nb_points, cfg.outlier_radius)
-    mverts = np.asarray(mverts)[np.asarray(keep)]
+    keep = np.asarray(pc.radius_outlier_mask(mverts_j, cfg.outlier_nb_points, cfg.outlier_radius))
+    _mark("radius_outlier")
+    mverts = np.asarray(mverts)[keep]
     if mverts.shape[0] < 10:
         raise RuntimeError(
             f"surface denoising kept {mverts.shape[0]} of {keep.shape[0]} vertices "
@@ -64,6 +80,7 @@ def extract_surface(field, params, cfg: CorsConfig, grid_res: int = 128):
     n_sub = min(cfg.n_subsurface, mverts.shape[0])
     sub, normals, _ = pc.subsample_surface(mverts_j, n_sub, normals_k=min(cfg.normals_k, n_sub))
     sub, normals = jax.device_get((sub, normals))  # one round-trip, not two
+    _mark("fps_normals")
     return mverts, sub, normals
 
 
